@@ -1,0 +1,124 @@
+"""CPU oracle: explicit scipy assembly of the implicit heat-diffusion system
+on the corner-node grid, independent of the matrix-free JAX operator.
+
+Matches the discretization in pylamp_tpu/ops/energy.py (derived separately):
+interior 5-point variable-k stencil; Dirichlet walls as identity rows;
+Neumann walls via ghost elimination (ghost T = mirror + 2h*g with g the
+outward-normal gradient -> doubled inner coefficient + RHS constant
++2*k_face*g/h).
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+
+def _face(a, b, mode):
+    if mode == "arithmetic":
+        return 0.5 * (a + b)
+    if mode == "harmonic":
+        return 2.0 * a * b / (a + b)
+    raise ValueError(mode)
+
+
+class EnergyOracle:
+    def __init__(self, nx, ny, lx, ly, bcs, k_avg="arithmetic"):
+        self.nx, self.ny = nx, ny
+        self.dx, self.dy = lx / nx, ly / ny
+        self.bcs = bcs
+        self.k_avg = k_avg
+        self.nyn, self.nxn = ny + 1, nx + 1  # node counts
+        self.n = self.nyn * self.nxn
+
+    def idx(self, j, i):
+        return j * self.nxn + i
+
+    def _dirichlet_mask(self):
+        m = np.zeros((self.nyn, self.nxn), dtype=bool)
+        v = np.zeros((self.nyn, self.nxn))
+        if self.bcs.left.kind == "dirichlet":
+            m[:, 0] = True
+            v[:, 0] = self.bcs.left.value
+        if self.bcs.right.kind == "dirichlet":
+            m[:, -1] = True
+            v[:, -1] = self.bcs.right.value
+        if self.bcs.top.kind == "dirichlet":
+            m[0, :] = True
+            v[0, :] = self.bcs.top.value
+        if self.bcs.bottom.kind == "dirichlet":
+            m[-1, :] = True
+            v[-1, :] = self.bcs.bottom.value
+        return m, v
+
+    def _T_entries(self, j, i):
+        """Ghost substitution (mirror about the wall node's neighbour)."""
+        jj, ii = j, i
+        if ii == -1:
+            ii = 1
+        if ii == self.nxn:
+            ii = self.nxn - 2
+        if jj == -1:
+            jj = 1
+        if jj == self.nyn:
+            jj = self.nyn - 2
+        return self.idx(jj, ii)
+
+    def _k_at(self, k, j, i):
+        jj = min(max(j, 0), self.nyn - 1) if not (j == -1 or j == self.nyn) else (1 if j == -1 else self.nyn - 2)
+        ii = min(max(i, 0), self.nxn - 1) if not (i == -1 or i == self.nxn) else (1 if i == -1 else self.nxn - 2)
+        return k[jj, ii]
+
+    def assemble(self, k, rhocp_over_dt, kbnd=1.0):
+        dx, dy = self.dx, self.dy
+        A = sp.lil_matrix((self.n, self.n))
+        dir_mask, _ = self._dirichlet_mask()
+        rc = np.broadcast_to(rhocp_over_dt, (self.nyn, self.nxn))
+
+        for j in range(self.nyn):
+            for i in range(self.nxn):
+                r = self.idx(j, i)
+                if dir_mask[j, i]:
+                    A[r, r] = kbnd
+                    continue
+                A[r, r] += rc[j, i]
+                # x fluxes: faces (j, i-1/2) and (j, i+1/2)
+                k_r = _face(self._k_at(k, j, i), self._k_at(k, j, i + 1), self.k_avg)
+                k_l = _face(self._k_at(k, j, i - 1), self._k_at(k, j, i), self.k_avg)
+                A[r, self._T_entries(j, i + 1)] += -k_r / dx**2
+                A[r, r] += (k_r + k_l) / dx**2
+                A[r, self._T_entries(j, i - 1)] += -k_l / dx**2
+                # y fluxes
+                k_d = _face(self._k_at(k, j, i), self._k_at(k, j + 1, i), self.k_avg)
+                k_u = _face(self._k_at(k, j - 1, i), self._k_at(k, j, i), self.k_avg)
+                A[r, self._T_entries(j + 1, i)] += -k_d / dy**2
+                A[r, r] += (k_d + k_u) / dy**2
+                A[r, self._T_entries(j - 1, i)] += -k_u / dy**2
+        return A.tocsr()
+
+    def rhs(self, T_old, k, rhocp_over_dt, H, kbnd=1.0):
+        dx, dy = self.dx, self.dy
+        b = rhocp_over_dt * T_old + H
+        bcs = self.bcs
+        if bcs.left.kind == "neumann" and bcs.left.value != 0.0:
+            kf = _face(k[:, 0], k[:, 1], self.k_avg)
+            b[:, 0] += 2.0 * kf * bcs.left.value / dx
+        if bcs.right.kind == "neumann" and bcs.right.value != 0.0:
+            kf = _face(k[:, -2], k[:, -1], self.k_avg)
+            b[:, -1] += 2.0 * kf * bcs.right.value / dx
+        if bcs.top.kind == "neumann" and bcs.top.value != 0.0:
+            kf = _face(k[0, :], k[1, :], self.k_avg)
+            b[0, :] += 2.0 * kf * bcs.top.value / dy
+        if bcs.bottom.kind == "neumann" and bcs.bottom.value != 0.0:
+            kf = _face(k[-2, :], k[-1, :], self.k_avg)
+            b[-1, :] += 2.0 * kf * bcs.bottom.value / dy
+        mask, vals = self._dirichlet_mask()
+        b = np.where(mask, kbnd * vals, b)
+        return b.ravel()
+
+    def solve(self, T_old, k, rhocp_over_dt, H, kbnd=None):
+        if kbnd is None:
+            kbnd = float(np.mean(rhocp_over_dt)) + float(np.mean(k)) / self.dx**2
+        A = self.assemble(k, rhocp_over_dt, kbnd=kbnd)
+        b = self.rhs(T_old, k, rhocp_over_dt, H, kbnd=kbnd)
+        return spla.spsolve(A, b).reshape(self.nyn, self.nxn)

@@ -1,0 +1,173 @@
+"""CPU oracle: explicit scipy sparse assembly of the staggered-grid Stokes
+system, written loop-by-loop and independently of the matrix-free JAX
+operators.
+
+This reproduces the reference's approach (scipy sparse assembly + direct
+spsolve; SURVEY.md §2.1 / §3.4 — the reference mount was empty, so this
+oracle IS the executable stand-in that makes "match PyLamp CPU results"
+testable, per SURVEY.md §8.3).  It doubles as the measured CPU performance
+baseline (BASELINE.md).
+
+DOF ordering: vx (ny x (nx+1)) row-major, then vy ((ny+1) x nx), then
+p (ny x nx).
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+
+class StokesOracle:
+    def __init__(self, nx, ny, lx, ly, bcs):
+        self.nx, self.ny, self.lx, self.ly = nx, ny, lx, ly
+        self.dx, self.dy = lx / nx, ly / ny
+        self.bcs = bcs
+        self.nvx = ny * (nx + 1)
+        self.nvy = (ny + 1) * nx
+        self.np_ = ny * nx
+        self.n = self.nvx + self.nvy + self.np_
+
+    # -- DOF indexing ------------------------------------------------------
+    def ivx(self, j, i):
+        return j * (self.nx + 1) + i
+
+    def ivy(self, j, i):
+        return self.nvx + j * self.nx + i
+
+    def ip(self, j, i):
+        return self.nvx + self.nvy + j * self.nx + i
+
+    # -- ghost substitution: map ghost indices to (real index, sign) --------
+    def vx_entries(self, j, i):
+        """vx[j,i] where j may be -1 or ny (ghost rows)."""
+        if j == -1:
+            return [(self.ivx(0, i), self.bcs.s_top)]
+        if j == self.ny:
+            return [(self.ivx(self.ny - 1, i), self.bcs.s_bottom)]
+        return [(self.ivx(j, i), 1.0)]
+
+    def vy_entries(self, j, i):
+        """vy[j,i] where i may be -1 or nx (ghost cols)."""
+        if i == -1:
+            return [(self.ivy(j, 0), self.bcs.s_left)]
+        if i == self.nx:
+            return [(self.ivy(j, self.nx - 1), self.bcs.s_right)]
+        return [(self.ivy(j, i), 1.0)]
+
+    # -- assembly ------------------------------------------------------------
+    def assemble(self, eta_s, eta_n, kcont=1.0, kbnd=1.0):
+        """Assemble A (CSR).  eta_s: (ny+1, nx+1), eta_n: (ny, nx)."""
+        nx, ny, dx, dy = self.nx, self.ny, self.dx, self.dy
+        A = sp.lil_matrix((self.n, self.n))
+
+        def add_vx(row, j, i, c):
+            for idx, s in self.vx_entries(j, i):
+                A[row, idx] += s * c
+
+        def add_vy(row, j, i, c):
+            for idx, s in self.vy_entries(j, i):
+                A[row, idx] += s * c
+
+        # x-momentum rows
+        for j in range(ny):
+            for i in range(nx + 1):
+                r = self.ivx(j, i)
+                if i == 0 or i == nx:
+                    A[r, r] = kbnd
+                    continue
+                # -(sxx[j,i]-sxx[j,i-1])/dx
+                add_vx(r, j, i + 1, -2.0 * eta_n[j, i] / dx**2)
+                add_vx(r, j, i, 2.0 * (eta_n[j, i] + eta_n[j, i - 1]) / dx**2)
+                add_vx(r, j, i - 1, -2.0 * eta_n[j, i - 1] / dx**2)
+                # -(sxy[j+1,i]-sxy[j,i])/dy
+                eu, ed = eta_s[j, i], eta_s[j + 1, i]
+                add_vx(r, j + 1, i, -ed / dy**2)
+                add_vx(r, j, i, (ed + eu) / dy**2)
+                add_vx(r, j - 1, i, -eu / dy**2)
+                add_vy(r, j + 1, i, -ed / (dx * dy))
+                add_vy(r, j + 1, i - 1, ed / (dx * dy))
+                add_vy(r, j, i, eu / (dx * dy))
+                add_vy(r, j, i - 1, -eu / (dx * dy))
+                # +(p[j,i]-p[j,i-1])/dx
+                A[r, self.ip(j, i)] += 1.0 / dx
+                A[r, self.ip(j, i - 1)] += -1.0 / dx
+
+        # y-momentum rows
+        for j in range(ny + 1):
+            for i in range(nx):
+                r = self.ivy(j, i)
+                if j == 0 or j == ny:
+                    A[r, r] = kbnd
+                    continue
+                # -(syy[j,i]-syy[j-1,i])/dy
+                add_vy(r, j + 1, i, -2.0 * eta_n[j, i] / dy**2)
+                add_vy(r, j, i, 2.0 * (eta_n[j, i] + eta_n[j - 1, i]) / dy**2)
+                add_vy(r, j - 1, i, -2.0 * eta_n[j - 1, i] / dy**2)
+                # -(sxy[j,i+1]-sxy[j,i])/dx
+                el, er = eta_s[j, i], eta_s[j, i + 1]
+                add_vy(r, j, i + 1, -er / dx**2)
+                add_vy(r, j, i, (er + el) / dx**2)
+                add_vy(r, j, i - 1, -el / dx**2)
+                add_vx(r, j, i + 1, -er / (dx * dy))
+                add_vx(r, j - 1, i + 1, er / (dx * dy))
+                add_vx(r, j, i, el / (dx * dy))
+                add_vx(r, j - 1, i, -el / (dx * dy))
+                # +(p[j,i]-p[j-1,i])/dy
+                A[r, self.ip(j, i)] += 1.0 / dy
+                A[r, self.ip(j - 1, i)] += -1.0 / dy
+
+        # continuity rows
+        for j in range(ny):
+            for i in range(nx):
+                r = self.ip(j, i)
+                add_vx(r, j, i + 1, kcont / dx)
+                add_vx(r, j, i, -kcont / dx)
+                add_vy(r, j + 1, i, kcont / dy)
+                add_vy(r, j, i, -kcont / dy)
+
+        return A.tocsr()
+
+    def rhs(self, rho_vx, rho_vy, gx, gy, kbnd=1.0):
+        b = np.zeros(self.n)
+        bx = rho_vx * gx
+        by = rho_vy * gy
+        bx[:, 0] = kbnd * self.bcs.vn_left
+        bx[:, -1] = kbnd * self.bcs.vn_right
+        by[0, :] = kbnd * self.bcs.vn_top
+        by[-1, :] = kbnd * self.bcs.vn_bottom
+        b[: self.nvx] = bx.ravel()
+        b[self.nvx : self.nvx + self.nvy] = by.ravel()
+        return b
+
+    def split(self, u):
+        """Flat solution vector -> (vx, vy, p) arrays."""
+        nx, ny = self.nx, self.ny
+        vx = u[: self.nvx].reshape(ny, nx + 1)
+        vy = u[self.nvx : self.nvx + self.nvy].reshape(ny + 1, nx)
+        p = u[self.nvx + self.nvy :].reshape(ny, nx)
+        return vx, vy, p
+
+    def pack(self, vx, vy, p):
+        return np.concatenate([vx.ravel(), vy.ravel(), p.ravel()])
+
+    def solve(self, eta_s, eta_n, rho_vx, rho_vy, gx, gy, kcont=None, kbnd=None):
+        """Direct spsolve with the pressure nullspace pinned (reference
+        style: fix one pressure DOF; SURVEY.md §3.2), then shift p so that
+        mean(p) = 0."""
+        eta_char = float(np.exp(np.mean(np.log(eta_n))))
+        if kcont is None:
+            kcont = 2.0 * eta_char / (self.dx + self.dy)
+        if kbnd is None:
+            kbnd = 4.0 * eta_char / min(self.dx, self.dy) ** 2
+        A = self.assemble(eta_s, eta_n, kcont=kcont, kbnd=kbnd).tolil()
+        b = self.rhs(rho_vx, rho_vy, gx, gy, kbnd=kbnd)
+        # pin p[0,0]: replace its continuity row with kbnd * p = 0
+        r = self.ip(0, 0)
+        A.rows[r] = [r]
+        A.data[r] = [kbnd]
+        b[r] = 0.0
+        u = spla.spsolve(A.tocsr(), b)
+        vx, vy, p = self.split(u)
+        p = p - p.mean()
+        return vx, vy, p
