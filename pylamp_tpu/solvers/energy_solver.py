@@ -1,0 +1,58 @@
+"""Implicit energy (heat diffusion) solve: Jacobi-preconditioned CG.
+
+Replaces the reference's spsolve on the assembled diffusion matrix
+(SURVEY.md §3.5).  The system is SPD (up to the scaled Dirichlet rows), so
+CG is the right Krylov method.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from pylamp_tpu.core.bc import ThermalBCs
+from pylamp_tpu.core.grid import StaggeredGrid
+from pylamp_tpu.ops.energy import _dirichlet_masks, _face_k, energy_operator, energy_rhs
+from pylamp_tpu.solvers.krylov import SolveInfo, cg
+
+
+class EnergySolution(NamedTuple):
+    T: jnp.ndarray
+    info: SolveInfo
+
+
+def energy_diagonal(k, rhocp_over_dt, grid: StaggeredGrid, bcs: ThermalBCs, kbnd, k_avg):
+    dx, dy = grid.dx, grid.dy
+    kp = jnp.pad(k, 1, mode="reflect")
+    kx = _face_k(kp, 1, k_avg)  # (ny+3, nx+2)
+    ky = _face_k(kp, 0, k_avg)  # (ny+2, nx+3)
+    diag = (
+        rhocp_over_dt
+        + (kx[1:-1, 1:] + kx[1:-1, :-1]) / dx**2
+        + (ky[1:, 1:-1] + ky[:-1, 1:-1]) / dy**2
+    )
+    mask, _ = _dirichlet_masks(grid, bcs, k.dtype)
+    return jnp.where(mask, kbnd, diag)
+
+
+def solve_energy(
+    T_old,
+    k,
+    rhocp_over_dt,
+    H,
+    grid: StaggeredGrid,
+    bcs: ThermalBCs,
+    tol: float = 1e-10,
+    maxiter: int = 2000,
+    k_avg: str = "arithmetic",
+) -> EnergySolution:
+    kbnd = jnp.mean(rhocp_over_dt) + 4.0 * jnp.mean(k) / min(grid.dx, grid.dy) ** 2
+
+    def op(T):
+        return energy_operator(T, k, rhocp_over_dt, grid, bcs, kbnd=kbnd, k_avg=k_avg)
+
+    b = energy_rhs(T_old, k, rhocp_over_dt, H, grid, bcs, kbnd=kbnd, k_avg=k_avg)
+    diag = energy_diagonal(k, rhocp_over_dt, grid, bcs, kbnd, k_avg)
+
+    T, info = cg(op, b, T_old, M=lambda r: r / diag, tol=tol, maxiter=maxiter)
+    return EnergySolution(T, info)

@@ -1,0 +1,121 @@
+"""Matrix-free Stokes solve: FGMRES + block preconditioner + pressure gauge.
+
+Replaces the reference's `spsolve(A, rhs)` on the assembled saddle-point
+matrix (SURVEY.md §3.2).  The pressure nullspace (constant mode) is handled
+by mean-zero projection rather than pinning one DOF — pinning doesn't shard
+cleanly across chips, whereas the projection is one `psum` (SURVEY.md §7.3
+item 3); the final pressure is then shifted to the requested gauge so results
+remain comparable with the reference's pinned-DOF convention.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax.numpy as jnp
+
+from pylamp_tpu.core.bc import VelocityBCs
+from pylamp_tpu.core.grid import StaggeredGrid
+from pylamp_tpu.ops.stokes import stokes_operator, stokes_rhs
+from pylamp_tpu.solvers.krylov import SolveInfo, fgmres
+from pylamp_tpu.solvers.scaling import characteristic_viscosity, stokes_scales
+
+
+class StokesSolution(NamedTuple):
+    vx: Any
+    vy: Any
+    p: Any
+    info: SolveInfo
+
+
+def velocity_diagonals(eta_s, eta_n, grid: StaggeredGrid, kbnd):
+    """Analytic diagonals of the momentum stencils (for Jacobi-type
+    preconditioning/smoothing)."""
+    dx, dy = grid.dx, grid.dy
+    dvx_int = (
+        2.0 * (eta_n[:, 1:] + eta_n[:, :-1]) / dx**2
+        + (eta_s[1:, 1:-1] + eta_s[:-1, 1:-1]) / dy**2
+    )
+    dvx = jnp.concatenate(
+        [jnp.full_like(dvx_int[:, :1], kbnd), dvx_int, jnp.full_like(dvx_int[:, :1], kbnd)],
+        axis=1,
+    )
+    dvy_int = (
+        2.0 * (eta_n[1:, :] + eta_n[:-1, :]) / dy**2
+        + (eta_s[1:-1, 1:] + eta_s[1:-1, :-1]) / dx**2
+    )
+    dvy = jnp.concatenate(
+        [jnp.full_like(dvy_int[:1, :], kbnd), dvy_int, jnp.full_like(dvy_int[:1, :], kbnd)],
+        axis=0,
+    )
+    return dvx, dvy
+
+
+def make_block_jacobi_preconditioner(eta_s, eta_n, grid, kcont, kbnd):
+    """Block-diagonal preconditioner:
+    velocity — pointwise Jacobi on the momentum diagonals;
+    pressure — viscosity-scaled mass matrix (Schur complement surrogate
+    S ~ -kcont/eta), projected to the zero-mean gauge."""
+    dvx, dvy = velocity_diagonals(eta_s, eta_n, grid, kbnd)
+
+    def M(r):
+        rx, ry, rc = r
+        zx = rx / dvx
+        zy = ry / dvy
+        zp = -(eta_n / kcont) * rc
+        zp = zp - jnp.mean(zp)
+        return (zx, zy, zp)
+
+    return M
+
+
+def solve_stokes(
+    eta_s,
+    eta_n,
+    rho_vx,
+    rho_vy,
+    gx,
+    gy,
+    grid: StaggeredGrid,
+    bcs: VelocityBCs,
+    tol: float = 1e-8,
+    restart: int = 40,
+    maxiter: int = 2000,
+    x0=None,
+    preconditioner: Callable | None = None,
+    make_preconditioner: Callable | None = None,
+) -> StokesSolution:
+    """Solve the variable-viscosity Stokes system to ``tol`` relative
+    residual (of the scaled system).
+
+    ``make_preconditioner(eta_s, eta_n, grid, kcont, kbnd) -> M`` overrides
+    the default block-Jacobi (e.g. the multigrid preconditioner in mg.py).
+    """
+    dtype = eta_n.dtype
+    eta_char = characteristic_viscosity(eta_n)
+    kcont, kbnd = stokes_scales(eta_char, grid)
+
+    def op(u):
+        vx, vy, p = u
+        return stokes_operator(vx, vy, p, eta_s, eta_n, grid, bcs, kcont=kcont, kbnd=kbnd)
+
+    b = stokes_rhs(rho_vx, rho_vy, gx, gy, grid, bcs, kbnd=kbnd, dtype=dtype)
+
+    if preconditioner is not None:
+        M = preconditioner
+    elif make_preconditioner is not None:
+        M = make_preconditioner(eta_s, eta_n, grid, kcont, kbnd)
+    else:
+        M = make_block_jacobi_preconditioner(eta_s, eta_n, grid, kcont, kbnd)
+
+    if x0 is None:
+        x0 = (
+            jnp.zeros(grid.shape_vx, dtype),
+            jnp.zeros(grid.shape_vy, dtype),
+            jnp.zeros(grid.shape_center, dtype),
+        )
+
+    (vx, vy, p), info = fgmres(
+        op, b, x0, M=M, tol=tol, restart=restart, maxiter=maxiter
+    )
+    p = p - jnp.mean(p)  # zero-mean gauge
+    return StokesSolution(vx, vy, p, info)
