@@ -1,0 +1,222 @@
+"""The five [DRIVER] benchmark model configurations (BASELINE.json
+``configs``; SURVEY.md §4) expressed as checked-in ModelConfigs, plus the
+standard diagnostics (Nusselt number, v_rms) used to compare against
+published community values.
+
+All convection cases use the standard non-dimensionalization (unit box,
+kappa = 1, eta_ref = 1, DT = 1): the Boussinesq buoyancy is rho0*alpha = Ra
+with g = 1, so velocities are in units of kappa/h and Nu is directly
+comparable with Blankenbach et al. (1989)."""
+from __future__ import annotations
+
+import numpy as np
+
+from pylamp_tpu.core.bc import ThermalBC, ThermalBCs, VelocityBCs
+from pylamp_tpu.models.config import ModelConfig, PhysicsConfig, SolverConfig, TimeConfig
+from pylamp_tpu.physics.materials import Material
+
+
+# -- diagnostics --------------------------------------------------------------
+
+def nusselt_top(T, grid):
+    """Nu = -<dT/dy> at the top wall (unit box, DT = 1, conductive Nu = 1).
+    One-sided 2nd-order difference on corner nodes, trapezoid in x."""
+    import jax.numpy as jnp
+
+    dy = grid.dy
+    dTdy = (-3.0 * T[0, :] + 4.0 * T[1, :] - T[2, :]) / (2.0 * dy)
+    w = jnp.ones(grid.nx + 1).at[0].set(0.5).at[-1].set(0.5)
+    return -jnp.sum(dTdy * w) / grid.nx
+
+
+def vrms_box(vx, vy):
+    """Volume RMS velocity on cell centers."""
+    import jax.numpy as jnp
+
+    vxc = 0.5 * (vx[:, 1:] + vx[:, :-1])
+    vyc = 0.5 * (vy[1:, :] + vy[:-1, :])
+    return jnp.sqrt(jnp.mean(vxc**2 + vyc**2))
+
+
+# -- config 1: falling-block Rayleigh-Taylor ----------------------------------
+
+def falling_block(nx=64, ny=64, eta_block=1.0, rho_block=2.0, max_steps=20):
+    """Isoviscous dense block sinking in a unit box (BASELINE config 1)."""
+    ambient = Material(name="ambient", rho0=1.0, eta0=1.0, viscosity="constant")
+    block = Material(name="block", rho0=rho_block, eta0=eta_block, viscosity="constant")
+
+    def material_of(x, y):
+        return (
+            (np.abs(x - 0.5) < 0.15) & (np.abs(y - 0.25) < 0.15)
+        ).astype(np.int32)
+
+    return ModelConfig(
+        nx=nx, ny=ny, lx=1.0, ly=1.0,
+        physics=PhysicsConfig(
+            gx=0.0, gy=1.0,
+            materials=(ambient, block),
+            velocity_bcs=VelocityBCs(),
+            solve_energy=False,
+            eta_avg="geometric",
+        ),
+        solver=SolverConfig(),
+        time=TimeConfig(courant=0.5, max_steps=max_steps),
+        material_of=material_of,
+        name="falling_block",
+    )
+
+
+# -- config 2: Blankenbach case 1a --------------------------------------------
+
+BLANKENBACH_1A_NU = 4.884409  # Blankenbach et al. (1989) benchmark value
+BLANKENBACH_1A_VRMS = 42.864947
+
+def blankenbach_case1a(nx=64, ny=64, Ra=1e4, max_steps=2000, max_time=0.25):
+    """Isoviscous convection at Ra = 1e4 (BASELINE config 2).  Steady-state
+    Nu = 4.8844, vrms = 42.865 (community values)."""
+    # rho = Ra*(1 - T): rho0 = Ra, alpha = 1 -> buoyancy rho0*alpha*g = Ra;
+    # rho0*cp = 1 and k = 1 -> kappa = 1 (unit diffusion time scaling).
+    mat = Material(name="fluid", rho0=Ra, alpha=1.0, T_ref=0.0, eta0=1.0,
+                   viscosity="constant", k=1.0, cp=1.0 / Ra)
+
+    def T_of(x, y):
+        # conductive profile + single-mode perturbation to seed the cell
+        return y + 0.05 * np.cos(np.pi * x) * np.sin(np.pi * y)
+
+    return ModelConfig(
+        nx=nx, ny=ny, lx=1.0, ly=1.0,
+        physics=PhysicsConfig(
+            gx=0.0, gy=1.0,
+            materials=(mat,),
+            velocity_bcs=VelocityBCs(),  # free slip everywhere
+            thermal_bcs=ThermalBCs(
+                top=ThermalBC("dirichlet", 0.0),
+                bottom=ThermalBC("dirichlet", 1.0),
+                left=ThermalBC("neumann", 0.0),
+                right=ThermalBC("neumann", 0.0),
+            ),
+            solve_energy=True,
+            subgrid_diffusion_d=1.0,
+        ),
+        solver=SolverConfig(),
+        time=TimeConfig(courant=0.5, max_steps=max_steps, max_time=max_time,
+                        dt_diff_factor=5.0),
+        T_of=T_of,
+        name="blankenbach_1a",
+    )
+
+
+# -- config 3: Frank-Kamenetskii stagnant lid ---------------------------------
+
+def fk_stagnant_lid(nx=64, ny=64, Ra_top=10.0, visc_contrast=1e4,
+                    max_steps=3000, max_time=1.0):
+    """T-dependent viscosity convection, eta = exp(-gamma T) with
+    gamma = ln(visc_contrast) (BASELINE config 3).  With Ra(top) = 10 and
+    contrast 1e4 the system sits in the stagnant-lid regime (Solomatov 1995:
+    transition at gamma_c ~ 8 for these Ra)."""
+    gamma = float(np.log(visc_contrast))
+    mat = Material(
+        name="fk_fluid", rho0=Ra_top, alpha=1.0, T_ref=0.0,
+        eta0=1.0, viscosity="frank_kamenetskii", fk_gamma=gamma,
+        k=1.0, cp=1.0 / Ra_top,
+    )
+
+    def T_of(x, y):
+        return y + 0.05 * np.cos(np.pi * x) * np.sin(np.pi * y)
+
+    return ModelConfig(
+        nx=nx, ny=ny, lx=1.0, ly=1.0,
+        physics=PhysicsConfig(
+            gx=0.0, gy=1.0,
+            materials=(mat,),
+            velocity_bcs=VelocityBCs(),
+            thermal_bcs=ThermalBCs(
+                top=ThermalBC("dirichlet", 0.0),
+                bottom=ThermalBC("dirichlet", 1.0),
+            ),
+            solve_energy=True,
+            subgrid_diffusion_d=1.0,
+            eta_min=np.exp(-gamma) * 1e-3,
+            eta_max=1e3,
+        ),
+        solver=SolverConfig(),
+        time=TimeConfig(courant=0.5, max_steps=max_steps, max_time=max_time,
+                        dt_diff_factor=5.0),
+        T_of=T_of,
+        name="fk_stagnant_lid",
+    )
+
+
+# -- config 4: van Keken multi-material Rayleigh-Taylor -----------------------
+
+def rt_van_keken(nx=512, ny=512, eta_ratio=1.0, max_steps=200):
+    """Isothermal compositional RT after van Keken et al. (1997): buoyant
+    layer (thickness 0.2) under a denser fluid in a 0.9142 x 1 box, cosine
+    interface perturbation (BASELINE config 4)."""
+    lam = 0.9142
+    heavy = Material(name="heavy", rho0=1.0, eta0=1.0, viscosity="constant")
+    light = Material(name="light", rho0=0.0, eta0=eta_ratio, viscosity="constant")
+
+    def material_of(x, y):
+        interface = 0.8 + 0.02 * np.cos(np.pi * x / lam)
+        return (y > interface).astype(np.int32)
+
+    return ModelConfig(
+        nx=nx, ny=ny, lx=lam, ly=1.0,
+        markers_per_cell_dim=4,
+        physics=PhysicsConfig(
+            gx=0.0, gy=1.0,
+            materials=(heavy, light),
+            velocity_bcs=VelocityBCs(top="no_slip", bottom="no_slip"),
+            solve_energy=False,
+            eta_avg="geometric",
+        ),
+        solver=SolverConfig(),
+        time=TimeConfig(courant=0.5, max_steps=max_steps),
+        material_of=material_of,
+        name="rt_van_keken",
+    )
+
+
+# -- config 5: sticky-air free surface ----------------------------------------
+
+def sticky_air(nx=1024, ny=256, max_steps=50):
+    """Crameri et al. (2012)-style free-surface relaxation: cosine topography
+    on a high-viscosity lithosphere over mantle, with a weak low-density
+    'sticky air' layer approximating the free surface (BASELINE config 5).
+    Physical units (SI)."""
+    lx, ly = 2.8e6, 8.0e5  # m
+    d_air, d_lith = 1.5e5, 1.0e5
+    topo_amp, topo_lam = 7.0e3, 2.8e6
+
+    air = Material(name="air", rho0=0.0, eta0=1e19, viscosity="constant",
+                   k=100.0, cp=1000.0)
+    lith = Material(name="lithosphere", rho0=3300.0, eta0=1e23,
+                    viscosity="constant", k=3.0, cp=1000.0)
+    mantle = Material(name="mantle", rho0=3300.0, eta0=1e21,
+                      viscosity="constant", k=3.0, cp=1000.0)
+
+    def material_of(x, y):
+        surface = d_air - topo_amp * np.cos(2.0 * np.pi * x / topo_lam)
+        m = np.full(x.shape, 2, np.int32)  # mantle
+        m = np.where(y < surface + d_lith, 1, m)  # lithosphere
+        m = np.where(y < surface, 0, m)  # air
+        return m
+
+    return ModelConfig(
+        nx=nx, ny=ny, lx=lx, ly=ly,
+        markers_per_cell_dim=3,
+        physics=PhysicsConfig(
+            gx=0.0, gy=9.81,
+            materials=(air, lith, mantle),
+            velocity_bcs=VelocityBCs(),
+            solve_energy=False,
+            eta_avg="geometric",
+            eta_min=1e18, eta_max=1e24,
+        ),
+        solver=SolverConfig(stokes_tol=1e-8),
+        time=TimeConfig(courant=0.25, max_steps=max_steps,
+                        dt_max=3.15576e10),  # <= ~1 kyr: free-surface stability
+        material_of=material_of,
+        name="sticky_air",
+    )

@@ -1,0 +1,71 @@
+"""Model configuration tree.
+
+The reference is configured by editing constants in the driver script
+(SURVEY.md §5 "Config / flag system"); here configuration is an explicit
+dataclass tree, checked in per benchmark under configs/ and usable from the
+CLI."""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+from pylamp_tpu.core.bc import ThermalBCs, VelocityBCs
+from pylamp_tpu.physics.materials import Material
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    gx: float = 0.0
+    gy: float = 9.81  # y points down
+    materials: Sequence[Material] = (Material(),)
+    velocity_bcs: VelocityBCs = VelocityBCs()
+    thermal_bcs: ThermalBCs = ThermalBCs()
+    eta_min: float = 1e-12
+    eta_max: float = 1e30
+    # marker->grid viscosity averaging ("arithmetic"|"geometric"|"harmonic")
+    eta_avg: str = "geometric"
+    k_face_avg: str = "arithmetic"
+    solve_energy: bool = True
+    subgrid_diffusion_d: float = 0.0  # 0 = plain dT remapping; ~1 = Gerya
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    stokes_tol: float = 1e-8
+    stokes_restart: int = 40
+    stokes_maxiter: int = 2000
+    preconditioner: str = "mg"  # "mg" | "jacobi"
+    mg_levels: int = 0  # 0 = auto (coarsen to ~4 cells)
+    mg_cycles: int = 1  # V-cycles per preconditioner application
+    mg_pre_smooth: int = 2
+    mg_post_smooth: int = 2
+    energy_tol: float = 1e-10
+    energy_maxiter: int = 2000
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeConfig:
+    courant: float = 0.5
+    dt_max: float = float("inf")
+    dt_min: float = 0.0
+    dt_diff_factor: float = float("inf")  # cap dt at factor * diffusion time
+    max_steps: int = 100
+    max_time: float = float("inf")
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    nx: int = 64
+    ny: int = 64
+    lx: float = 1.0
+    ly: float = 1.0
+    markers_per_cell_dim: int = 3
+    seed: int = 0
+    physics: PhysicsConfig = PhysicsConfig()
+    solver: SolverConfig = SolverConfig()
+    time: TimeConfig = TimeConfig()
+    # Initial conditions: callables evaluated at setup (host side, numpy ok):
+    # material_of(x, y) -> int array; T_of(x, y) -> float array
+    material_of: Callable | None = None
+    T_of: Callable | None = None
+    name: str = "model"

@@ -1,0 +1,200 @@
+"""One model timestep: the core loop of the framework (SURVEY.md §3.2).
+
+    marker props -> marker->grid interp -> Stokes solve -> dt (Courant)
+    -> implicit energy solve + marker T update (optional subgrid diffusion)
+    -> RK4 marker advection
+
+The whole step is a single jittable, scan-able function of ModelState: no
+host round-trips, static shapes, adaptive dt as a traced scalar.  Under a
+device mesh the same function runs domain-decomposed (parallel/).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pylamp_tpu.core.grid import StaggeredGrid
+from pylamp_tpu.markers.advect import advect_rk4
+from pylamp_tpu.markers.interp import grid_to_markers, markers_to_grid
+from pylamp_tpu.models.config import ModelConfig
+from pylamp_tpu.models.state import ModelState
+from pylamp_tpu.physics.materials import MaterialTable
+from pylamp_tpu.solvers.energy_solver import solve_energy
+from pylamp_tpu.solvers.stokes_solver import solve_stokes
+
+
+def _interp_with_fallback(px, py, vals, grid, loc, mode, fallback):
+    field, wsum = markers_to_grid(px, py, vals, grid, loc, mode)
+    return jnp.where(wsum > 0, field, fallback)
+
+
+def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
+    phys = cfg.physics
+    solver = cfg.solver
+    tc = cfg.time
+    vbc = phys.velocity_bcs
+    tbc = phys.thermal_bcs
+
+    if solver.preconditioner == "mg":
+        from pylamp_tpu.solvers.mg import make_mg_preconditioner
+
+        make_precond = partial(
+            make_mg_preconditioner,
+            levels=solver.mg_levels,
+            cycles=solver.mg_cycles,
+            pre_smooth=solver.mg_pre_smooth,
+            post_smooth=solver.mg_post_smooth,
+        )
+    elif solver.preconditioner == "jacobi":
+        make_precond = None
+    else:
+        raise ValueError(f"unknown preconditioner {solver.preconditioner!r}")
+
+    def step(state: ModelState) -> Tuple[ModelState, Dict[str, Any]]:
+        m = state.markers
+        dtype = m.x.dtype
+
+        # ---- marker properties (rheology on markers; SURVEY.md §2.1) ----
+        rho_m = table.density(m.mat, m.T)
+        eta_m = jnp.clip(table.viscosity_of(m.mat, m.T), phys.eta_min, phys.eta_max)
+        k_m = table.conductivity(m.mat, dtype)
+        rhocp_m = table.rho_cp(m.mat, m.T)
+        H_m = table.heating(m.mat, dtype)
+
+        # ---- marker -> grid ------------------------------------------------
+        eta_s = _interp_with_fallback(m.x, m.y, eta_m, grid, "corner", phys.eta_avg, state.eta_s)
+        eta_n = _interp_with_fallback(m.x, m.y, eta_m, grid, "center", phys.eta_avg, state.eta_n)
+        rho_vy = _interp_with_fallback(
+            m.x, m.y, rho_m, grid, "vy", "arithmetic", jnp.mean(rho_m)
+        )
+        if phys.gx != 0.0:
+            rho_vx = _interp_with_fallback(
+                m.x, m.y, rho_m, grid, "vx", "arithmetic", jnp.mean(rho_m)
+            )
+        else:
+            rho_vx = jnp.zeros(grid.shape_vx, dtype)
+
+        # ---- Stokes solve (warm-started) ------------------------------------
+        sol = solve_stokes(
+            eta_s,
+            eta_n,
+            rho_vx,
+            rho_vy,
+            phys.gx,
+            phys.gy,
+            grid,
+            vbc,
+            tol=solver.stokes_tol,
+            restart=solver.stokes_restart,
+            maxiter=solver.stokes_maxiter,
+            x0=(state.vx, state.vy, state.p),
+            make_preconditioner=make_precond,
+        )
+        vx, vy, p = sol.vx, sol.vy, sol.p
+
+        # ---- dt selection (Courant + optional diffusion cap) ----------------
+        vxmax = jnp.max(jnp.abs(vx))
+        vymax = jnp.max(jnp.abs(vy))
+        big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+        dt_adv = tc.courant * jnp.minimum(
+            jnp.where(vxmax > 0, grid.dx / vxmax, big),
+            jnp.where(vymax > 0, grid.dy / vymax, big),
+        )
+        dt = jnp.minimum(dt_adv, tc.dt_max)
+        if tc.dt_diff_factor != float("inf") and phys.solve_energy:
+            kappa_max = jnp.max(k_m / rhocp_m)
+            dt_diff = tc.dt_diff_factor * min(grid.dx, grid.dy) ** 2 / kappa_max
+            dt = jnp.minimum(dt, dt_diff)
+        dt = jnp.maximum(dt, tc.dt_min)
+
+        diag = {
+            "stokes_iterations": sol.info.iterations,
+            "stokes_residual": sol.info.residual,
+            "stokes_converged": sol.info.converged,
+            "dt": dt,
+            "vmax": jnp.maximum(vxmax, vymax),
+            "vrms": jnp.sqrt(
+                jnp.mean(
+                    (0.5 * (vx[:, 1:] + vx[:, :-1])) ** 2
+                    + (0.5 * (vy[1:, :] + vy[:-1, :])) ** 2
+                )
+            ),
+        }
+
+        # ---- energy solve + marker temperature update -----------------------
+        markers = m
+        if phys.solve_energy:
+            T_old = _interp_with_fallback(
+                m.x, m.y, m.T, grid, "corner", "arithmetic", state.T
+            )
+            k_g = _interp_with_fallback(
+                m.x, m.y, k_m, grid, "corner", "arithmetic", jnp.mean(k_m)
+            )
+            rhocp_g = _interp_with_fallback(
+                m.x, m.y, rhocp_m, grid, "corner", "arithmetic", jnp.mean(rhocp_m)
+            )
+            H_g = _interp_with_fallback(
+                m.x, m.y, H_m, grid, "corner", "arithmetic", jnp.asarray(0.0, dtype)
+            )
+            esol = solve_energy(
+                T_old,
+                k_g,
+                rhocp_g / dt,
+                H_g,
+                grid,
+                tbc,
+                tol=solver.energy_tol,
+                maxiter=solver.energy_maxiter,
+                k_avg=phys.k_face_avg,
+            )
+            T_new = esol.T
+
+            if phys.subgrid_diffusion_d > 0.0:
+                # Gerya-style subgrid diffusion: relax marker T toward the
+                # old grid T on the cell-diffusion timescale, then remap
+                # only the remaining part of dT (SURVEY.md §2.1
+                # "subgrid-diffusion correction").
+                T_node_at_m = grid_to_markers(T_old, m.x, m.y, grid, "corner")
+                t_diff = rhocp_m / (
+                    k_m * (2.0 / grid.dx**2 + 2.0 / grid.dy**2)
+                )
+                relax = 1.0 - jnp.exp(-phys.subgrid_diffusion_d * dt / t_diff)
+                dT_sub_m = (T_node_at_m - m.T) * relax
+                dT_sub_g, wsub = markers_to_grid(
+                    m.x, m.y, dT_sub_m, grid, "corner", "arithmetic"
+                )
+                dT_sub_g = jnp.where(wsub > 0, dT_sub_g, 0.0)
+                dT_rem = (T_new - T_old) - dT_sub_g
+                T_m = m.T + dT_sub_m + grid_to_markers(dT_rem, m.x, m.y, grid, "corner")
+            else:
+                dT = T_new - T_old
+                T_m = m.T + grid_to_markers(dT, m.x, m.y, grid, "corner")
+
+            markers = markers.replace(T=T_m)
+            diag["energy_iterations"] = esol.info.iterations
+            diag["T_mean"] = jnp.mean(T_new)
+        else:
+            T_new = state.T
+
+        # ---- advect markers --------------------------------------------------
+        px, py = advect_rk4(markers.x, markers.y, vx, vy, dt, grid, vbc)
+        markers = markers.replace(x=px, y=py)
+
+        new_state = state.replace(
+            markers=markers,
+            vx=vx,
+            vy=vy,
+            p=p,
+            T=T_new,
+            eta_s=eta_s,
+            eta_n=eta_n,
+            time=state.time + dt,
+            step=state.step + 1,
+            dt=dt,
+        )
+        return new_state, diag
+
+    return step

@@ -102,9 +102,11 @@ class MaterialTable:
         return jnp.asarray(self.k, dtype)[mat_id]
 
     def rho_cp(self, mat_id, T):
-        rho = self.density(mat_id, T)
+        # Boussinesq: thermal mass uses the reference density rho0 (the
+        # T-dependence of rho enters the buoyancy term only).
+        rho0 = jnp.asarray(self.rho0, T.dtype)[mat_id]
         cp = jnp.asarray(self.cp, T.dtype)[mat_id]
-        return rho * cp
+        return rho0 * cp
 
     def heating(self, mat_id, dtype):
         return jnp.asarray(self.H, dtype)[mat_id]
