@@ -8,12 +8,10 @@ from __future__ import annotations
 
 import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from pylamp_tpu.markers.state import MarkerState
-from pylamp_tpu.models.state import ModelState
 
 FORMAT_VERSION = 1
 
@@ -21,7 +19,7 @@ _MARKER_FIELDS = ("x", "y", "mat", "T")
 _GRID_FIELDS = ("vx", "vy", "p", "T", "eta_s", "eta_n", "time", "step", "dt")
 
 
-def save_checkpoint(path: str, state: ModelState, extra: dict | None = None):
+def save_checkpoint(path: str, state, extra: dict | None = None):
     payload = {"__format_version__": FORMAT_VERSION}
     for f in _MARKER_FIELDS:
         payload[f"markers.{f}"] = np.asarray(getattr(state.markers, f))
@@ -38,6 +36,8 @@ def save_checkpoint(path: str, state: ModelState, extra: dict | None = None):
 
 def load_checkpoint(path: str):
     """Returns (ModelState, extra dict)."""
+    # imported here to avoid a cycle (models.driver imports this module)
+    from pylamp_tpu.models.state import ModelState
     with np.load(path) as z:
         version = int(z["__format_version__"])
         if version > FORMAT_VERSION:
