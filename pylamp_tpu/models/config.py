@@ -36,9 +36,10 @@ class SolverConfig:
     stokes_maxiter: int = 2000
     preconditioner: str = "mg"  # "mg" | "jacobi"
     mg_levels: int = 0  # 0 = auto (coarsen to ~4 cells)
-    mg_cycles: int = 1  # V-cycles per preconditioner application
-    mg_pre_smooth: int = 2
-    mg_post_smooth: int = 2
+    mg_cycles: int = 1  # V-cycles per application (>1 can DIVERGE at high
+    # viscosity contrast: a marginal cycle amplifies when iterated)
+    mg_pre_smooth: int = 3  # Chebyshev degree
+    mg_post_smooth: int = 3
     energy_tol: float = 1e-10
     energy_maxiter: int = 2000
 

@@ -1,0 +1,347 @@
+"""Geometric multigrid preconditioner for the Stokes velocity block.
+
+Replaces the role of the reference's SuperLU factorization with an
+O(N)-work, HBM-resident hierarchy (SURVEY.md §7.2 step 6; PAPERS.md
+matrix-free GMG for variable-viscosity Stokes).  Used inside FGMRES as a
+block upper-triangular preconditioner:
+
+    z_p = -(eta_n / kcont) * r_p          (Schur complement surrogate)
+    z_v = MG(r_v - G z_p)                 (V-cycles on the momentum block)
+
+Design:
+- rediscretized coarse operators: the same matrix-free momentum stencil with
+  level-coarsened viscosities (eta_n: 2x2 geometric mean; eta_s: injection
+  at coincident corners) — geometric-mean coarsening is the robust choice
+  under large viscosity contrast (SURVEY.md §7.3 item 1)
+- Chebyshev smoothing (default) on the coupled (vx, vy) system, targeting
+  the upper part of the spectrum of D^-1 A with a per-level lambda_max from
+  a few power iterations — robust under strong viscosity jumps where plain
+  damped Jacobi diverges; damped Jacobi remains available
+- staggered-lattice transfers: bilinear prolongation on each velocity
+  lattice with homogeneous-BC ghost handling (free slip mirrors, no slip
+  anti-mirrors), restriction = P^T / 4; Dirichlet (wall-normal) entries are
+  zeroed on both transfers and left to the smoother
+- everything is slicing/reshape on static shapes: XLA fuses each level's
+  smoother into a handful of HBM passes, and GSPMD can shard every level
+  of the hierarchy over the device mesh
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax.numpy as jnp
+
+from pylamp_tpu.core.bc import VelocityBCs
+from pylamp_tpu.core.grid import StaggeredGrid
+from pylamp_tpu.ops.stokes import stokes_operator
+from pylamp_tpu.solvers.stokes_solver import velocity_diagonals
+
+
+# -- viscosity coarsening ------------------------------------------------------
+
+def coarsen_eta(eta_s, eta_n):
+    eta_n_c = jnp.exp(
+        0.25
+        * (
+            jnp.log(eta_n[0::2, 0::2])
+            + jnp.log(eta_n[0::2, 1::2])
+            + jnp.log(eta_n[1::2, 0::2])
+            + jnp.log(eta_n[1::2, 1::2])
+        )
+    )
+    eta_s_c = eta_s[0::2, 0::2]  # coincident corner nodes
+    return eta_s_c, eta_n_c
+
+
+# -- interleave helpers --------------------------------------------------------
+
+def _interleave_rows(a, b):
+    """rows [a0, b0, a1, b1, ...]; a, b: (n, m) -> (2n, m)"""
+    n, m = a.shape
+    return jnp.stack([a, b], axis=1).reshape(2 * n, m)
+
+
+def _interleave_cols(a, b):
+    n, m = a.shape
+    return jnp.stack([a, b], axis=2).reshape(n, 2 * m)
+
+
+# -- vx-lattice transfers (shape (ny, nx+1)) -----------------------------------
+
+def prolong_vx(c, bcs: VelocityBCs):
+    """Bilinear prolongation on the vx lattice (coarse (NY, NX+1) -> fine
+    (2NY, 2NX+1)).  Fine even columns coincide with coarse columns; fine
+    rows sit 1/4 and 3/4 of the way between coarse rows (ghost rows supply
+    the wall behaviour of the correction)."""
+    c = c.at[:, 0].set(0.0).at[:, -1].set(0.0)  # Dirichlet subspace excluded
+    cg = jnp.concatenate([bcs.s_top * c[:1], c, bcs.s_bottom * c[-1:]], axis=0)
+    a0 = 0.25 * cg[:-2] + 0.75 * cg[1:-1]
+    a1 = 0.75 * cg[1:-1] + 0.25 * cg[2:]
+    e = _interleave_rows(a0, a1)  # (2NY, NX+1)
+    odd = 0.5 * (e[:, :-1] + e[:, 1:])
+    f = jnp.concatenate([_interleave_cols(e[:, :-1], odd), e[:, -1:]], axis=1)
+    # wall-normal Dirichlet columns belong to the smoother
+    f = f.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    return f
+
+
+def restrict_vx(f, bcs: VelocityBCs):
+    """P^T/4 on the vx lattice (fine (2NY, 2NX+1) -> coarse (NY, NX+1))."""
+    f = f.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    fg = jnp.concatenate([bcs.s_top * f[:1], f, bcs.s_bottom * f[-1:]], axis=0)
+    # y: coarse row J <- 0.25 f[2J-1] + 0.75 f[2J] + 0.75 f[2J+1] + 0.25 f[2J+2]
+    g = (
+        0.25 * fg[0:-3:2]
+        + 0.75 * fg[1:-2:2]
+        + 0.75 * fg[2:-1:2]
+        + 0.25 * fg[3::2]
+    )  # (NY, 2NX+1)
+    # x: coarse col I <- 0.5 f[2I-1] + 1 f[2I] + 0.5 f[2I+1] (zero beyond walls)
+    gz = jnp.pad(g, ((0, 0), (1, 1)))
+    c = 0.5 * gz[:, 0:-2:2] + 1.0 * gz[:, 1:-1:2] + 0.5 * gz[:, 2::2]
+    c = c / 4.0
+    c = c.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    return c
+
+
+# -- vy-lattice transfers (shape (ny+1, nx)) -----------------------------------
+
+def prolong_vy(c, bcs: VelocityBCs):
+    c = c.at[0, :].set(0.0).at[-1, :].set(0.0)
+    cg = jnp.concatenate([bcs.s_left * c[:, :1], c, bcs.s_right * c[:, -1:]], axis=1)
+    a0 = 0.25 * cg[:, :-2] + 0.75 * cg[:, 1:-1]
+    a1 = 0.75 * cg[:, 1:-1] + 0.25 * cg[:, 2:]
+    e = _interleave_cols(a0, a1)  # (NY+1, 2NX)
+    odd = 0.5 * (e[:-1, :] + e[1:, :])
+    f = jnp.concatenate([_interleave_rows(e[:-1, :], odd), e[-1:, :]], axis=0)
+    f = f.at[0, :].set(0.0).at[-1, :].set(0.0)
+    return f
+
+
+def restrict_vy(f, bcs: VelocityBCs):
+    f = f.at[0, :].set(0.0).at[-1, :].set(0.0)
+    fg = jnp.concatenate([bcs.s_left * f[:, :1], f, bcs.s_right * f[:, -1:]], axis=1)
+    g = (
+        0.25 * fg[:, 0:-3:2]
+        + 0.75 * fg[:, 1:-2:2]
+        + 0.75 * fg[:, 2:-1:2]
+        + 0.25 * fg[:, 3::2]
+    )
+    gz = jnp.pad(g, ((1, 1), (0, 0)))
+    c = 0.5 * gz[0:-2:2, :] + 1.0 * gz[1:-1:2, :] + 0.5 * gz[2::2, :]
+    c = c / 4.0
+    c = c.at[0, :].set(0.0).at[-1, :].set(0.0)
+    return c
+
+
+# -- level structure -----------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class _Level:
+    grid: StaggeredGrid
+    # arrays are closed over in the returned callable, not stored here
+
+
+def _momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd):
+    rx, ry, _ = stokes_operator(
+        vx, vy, jnp.zeros(grid.shape_center, vx.dtype), eta_s, eta_n, grid, bcs,
+        kcont=1.0, kbnd=kbnd,
+    )
+    return rx, ry
+
+
+def _pressure_gradient(zp, grid, dtype):
+    """G z_p: the +grad p part of the momentum rows (zero on Dirichlet
+    rows)."""
+    gx_int = (zp[:, 1:] - zp[:, :-1]) / grid.dx
+    zeros_x = jnp.zeros((grid.ny, 1), dtype)
+    gx = jnp.concatenate([zeros_x, gx_int, zeros_x], axis=1)
+    gy_int = (zp[1:, :] - zp[:-1, :]) / grid.dy
+    zeros_y = jnp.zeros((1, grid.nx), dtype)
+    gy = jnp.concatenate([zeros_y, gy_int, zeros_y], axis=0)
+    return gx, gy
+
+
+def num_levels(grid: StaggeredGrid, requested: int = 0, min_cells: int = 4) -> int:
+    n = 1
+    nx, ny = grid.nx, grid.ny
+    while nx % 2 == 0 and ny % 2 == 0 and min(nx, ny) > min_cells:
+        nx //= 2
+        ny //= 2
+        n += 1
+    if requested > 0:
+        n = min(n, requested)
+    return n
+
+
+def _power_lambda_max(apply_Binv_A, shape_x, shape_y, dtype, iters: int = 12):
+    """Estimate lambda_max of D^-1 A on the coupled velocity space with
+    power iteration (deterministic start vector; jittable)."""
+    # deterministic pseudo-random start: cheap LCG-ish pattern, no host RNG
+    def seed(shape):
+        n = shape[0] * shape[1]
+        v = (jnp.arange(n, dtype=dtype) * 0.754877666 + 0.1) % 1.0 - 0.5
+        return v.reshape(shape)
+
+    vx, vy = seed(shape_x), seed(shape_y)
+    lam = jnp.asarray(1.0, dtype)
+    for _ in range(iters):
+        nrm = jnp.sqrt(jnp.vdot(vx, vx) + jnp.vdot(vy, vy))
+        vx, vy = vx / nrm, vy / nrm
+        wx, wy = apply_Binv_A(vx, vy)
+        lam = jnp.vdot(vx, wx) + jnp.vdot(vy, wy)
+        vx, vy = wx, wy
+    return lam
+
+
+def make_velocity_mg(
+    eta_s,
+    eta_n,
+    grid: StaggeredGrid,
+    bcs: VelocityBCs,
+    kbnd,
+    levels: int = 0,
+    pre_smooth: int = 2,
+    post_smooth: int = 2,
+    omega: float = 0.6,
+    coarse_iters: int = 32,
+    smoother: str = "chebyshev",
+):
+    """Returns mg(rx, ry) -> (zx, zy): `cycles` handled by the caller.
+
+    ``pre_smooth``/``post_smooth`` are the Chebyshev polynomial degrees (or
+    Jacobi sweep counts with smoother="jacobi")."""
+    nlev = num_levels(grid, levels)
+    dtype = eta_n.dtype
+
+    grids = [grid]
+    etas = [(eta_s, eta_n)]
+    for _ in range(nlev - 1):
+        g = grids[-1]
+        grids.append(StaggeredGrid(nx=g.nx // 2, ny=g.ny // 2, lx=g.lx, ly=g.ly))
+        etas.append(coarsen_eta(*etas[-1]))
+
+    # per-level smoother diagonals; kbnd scales with h^-2 like the stencil
+    kbnds = [kbnd * (grids[0].dx / g.dx) ** 2 for g in grids]
+    diags = [
+        velocity_diagonals(es, en, g, kb)
+        for (es, en), g, kb in zip(etas, grids, kbnds)
+    ]
+
+    lam_max = []
+    if smoother == "chebyshev":
+        for l in range(nlev):
+            es, en = etas[l]
+            dvx, dvy = diags[l]
+
+            def binv_a(vx, vy, l=l, es=es, en=en, dvx=dvx, dvy=dvy):
+                ax, ay = _momentum_apply(vx, vy, es, en, grids[l], bcs, kbnds[l])
+                return ax / dvx, ay / dvy
+
+            lam = _power_lambda_max(
+                binv_a, grids[l].shape_vx, grids[l].shape_vy, dtype
+            )
+            lam_max.append(1.1 * lam)
+
+    def smooth(l, ex, ey, rx, ry, iters):
+        es, en = etas[l]
+        dvx, dvy = diags[l]
+        g = grids[l]
+        kb = kbnds[l]
+
+        if smoother == "jacobi":
+            for _ in range(iters):
+                ax, ay = _momentum_apply(ex, ey, es, en, g, bcs, kb)
+                ex = ex + omega * (rx - ax) / dvx
+                ey = ey + omega * (ry - ay) / dvy
+            return ex, ey
+
+        # Chebyshev semi-iteration on D^-1 A over [lmax/4, lmax]
+        # (hypre/ML-style smoothing interval).
+        lmax = lam_max[l]
+        lmin = lmax / 4.0
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma1 = theta / delta
+
+        ax, ay = _momentum_apply(ex, ey, es, en, g, bcs, kb)
+        dx_ = (rx - ax) / dvx / theta
+        dy_ = (ry - ay) / dvy / theta
+        ex = ex + dx_
+        ey = ey + dy_
+        rho_old = 1.0 / sigma1
+        for _ in range(iters - 1):
+            rho = 1.0 / (2.0 * sigma1 - rho_old)
+            ax, ay = _momentum_apply(ex, ey, es, en, g, bcs, kb)
+            dx_ = rho * rho_old * dx_ + (2.0 * rho / delta) * (rx - ax) / dvx
+            dy_ = rho * rho_old * dy_ + (2.0 * rho / delta) * (ry - ay) / dvy
+            ex = ex + dx_
+            ey = ey + dy_
+            rho_old = rho
+        return ex, ey
+
+    def vcycle(l, rx, ry):
+        if l == nlev - 1:
+            ex = jnp.zeros_like(rx)
+            ey = jnp.zeros_like(ry)
+            return smooth(l, ex, ey, rx, ry, coarse_iters)
+        ex = jnp.zeros_like(rx)
+        ey = jnp.zeros_like(ry)
+        ex, ey = smooth(l, ex, ey, rx, ry, pre_smooth)
+        ax, ay = _momentum_apply(ex, ey, *etas[l], grids[l], bcs, kbnds[l])
+        rcx = restrict_vx(rx - ax, bcs)
+        rcy = restrict_vy(ry - ay, bcs)
+        ecx, ecy = vcycle(l + 1, rcx, rcy)
+        ex = ex + prolong_vx(ecx, bcs)
+        ey = ey + prolong_vy(ecy, bcs)
+        ex, ey = smooth(l, ex, ey, rx, ry, post_smooth)
+        return ex, ey
+
+    def mg(rx, ry):
+        return vcycle(0, rx, ry)
+
+    return mg
+
+
+def make_mg_preconditioner(
+    eta_s,
+    eta_n,
+    grid: StaggeredGrid,
+    kcont,
+    kbnd,
+    bcs: VelocityBCs = None,
+    levels: int = 0,
+    cycles: int = 1,
+    pre_smooth: int = 2,
+    post_smooth: int = 2,
+    omega: float = 0.6,
+    smoother: str = "chebyshev",
+):
+    """Block upper-triangular preconditioner for the full Stokes system."""
+    if bcs is None:
+        bcs = VelocityBCs()
+    mg = make_velocity_mg(
+        eta_s, eta_n, grid, bcs, kbnd,
+        levels=levels, pre_smooth=pre_smooth, post_smooth=post_smooth, omega=omega,
+        smoother=smoother,
+    )
+    dtype = eta_n.dtype
+
+    def M(r):
+        rx, ry, rc = r
+        zp = -(eta_n / kcont) * rc
+        zp = zp - jnp.mean(zp)
+        gx, gy = _pressure_gradient(zp, grid, dtype)
+        rvx = rx - gx
+        rvy = ry - gy
+        zx = jnp.zeros_like(rx)
+        zy = jnp.zeros_like(ry)
+        for _ in range(cycles):
+            ax, ay = _momentum_apply(zx, zy, eta_s, eta_n, grid, bcs, kbnd)
+            dx_, dy_ = mg(rvx - ax, rvy - ay)
+            zx = zx + dx_
+            zy = zy + dy_
+        return (zx, zy, zp)
+
+    return M

@@ -50,7 +50,7 @@ def velocity_diagonals(eta_s, eta_n, grid: StaggeredGrid, kbnd):
     return dvx, dvy
 
 
-def make_block_jacobi_preconditioner(eta_s, eta_n, grid, kcont, kbnd):
+def make_block_jacobi_preconditioner(eta_s, eta_n, grid, kcont, kbnd, bcs=None):
     """Block-diagonal preconditioner:
     velocity — pointwise Jacobi on the momentum diagonals;
     pressure — viscosity-scaled mass matrix (Schur complement surrogate
@@ -103,9 +103,9 @@ def solve_stokes(
     if preconditioner is not None:
         M = preconditioner
     elif make_preconditioner is not None:
-        M = make_preconditioner(eta_s, eta_n, grid, kcont, kbnd)
+        M = make_preconditioner(eta_s, eta_n, grid, kcont, kbnd, bcs=bcs)
     else:
-        M = make_block_jacobi_preconditioner(eta_s, eta_n, grid, kcont, kbnd)
+        M = make_block_jacobi_preconditioner(eta_s, eta_n, grid, kcont, kbnd, bcs=bcs)
 
     if x0 is None:
         x0 = (
