@@ -31,6 +31,12 @@ class PhysicsConfig:
 
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
+    # "auto": plain solves in the state dtype, except f32 state with x64
+    # available -> mixed (f32 inner solves + f64 iterative refinement, the
+    # TPU path to 1e-8); "f32"/"f64"/"mixed" force a mode.
+    precision: str = "auto"
+    inner_tol: float = 1e-4  # inner-solve tolerance in mixed mode
+    max_refinements: int = 6
     stokes_tol: float = 1e-8
     stokes_restart: int = 40
     stokes_maxiter: int = 2000

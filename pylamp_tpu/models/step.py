@@ -22,8 +22,8 @@ from pylamp_tpu.markers.interp import grid_to_markers, markers_to_grid
 from pylamp_tpu.models.config import ModelConfig
 from pylamp_tpu.models.state import ModelState
 from pylamp_tpu.physics.materials import MaterialTable
-from pylamp_tpu.solvers.energy_solver import solve_energy
-from pylamp_tpu.solvers.stokes_solver import solve_stokes
+from pylamp_tpu.solvers.energy_solver import solve_energy, solve_energy_mixed
+from pylamp_tpu.solvers.stokes_solver import solve_stokes, solve_stokes_mixed
 
 
 def _interp_with_fallback(px, py, vals, grid, loc, mode, fallback):
@@ -78,22 +78,48 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
             rho_vx = jnp.zeros(grid.shape_vx, dtype)
 
         # ---- Stokes solve (warm-started) ------------------------------------
-        sol = solve_stokes(
-            eta_s,
-            eta_n,
-            rho_vx,
-            rho_vy,
-            phys.gx,
-            phys.gy,
-            grid,
-            vbc,
-            tol=solver.stokes_tol,
-            restart=solver.stokes_restart,
-            maxiter=solver.stokes_maxiter,
-            x0=(state.vx, state.vy, state.p),
-            make_preconditioner=make_precond,
+        mixed = solver.precision == "mixed" or (
+            solver.precision == "auto"
+            and dtype == jnp.float32
+            and jax.config.jax_enable_x64
         )
-        vx, vy, p = sol.vx, sol.vy, sol.p
+        if mixed:
+            sol = solve_stokes_mixed(
+                eta_s,
+                eta_n,
+                rho_vx,
+                rho_vy,
+                phys.gx,
+                phys.gy,
+                grid,
+                vbc,
+                tol=solver.stokes_tol,
+                inner_tol=solver.inner_tol,
+                restart=solver.stokes_restart,
+                maxiter=solver.stokes_maxiter,
+                max_refinements=solver.max_refinements,
+                x0=(state.vx, state.vy, state.p),
+                make_preconditioner=make_precond,
+            )
+        else:
+            sol = solve_stokes(
+                eta_s,
+                eta_n,
+                rho_vx,
+                rho_vy,
+                phys.gx,
+                phys.gy,
+                grid,
+                vbc,
+                tol=solver.stokes_tol,
+                restart=solver.stokes_restart,
+                maxiter=solver.stokes_maxiter,
+                x0=(state.vx, state.vy, state.p),
+                make_preconditioner=make_precond,
+            )
+        vx = sol.vx.astype(dtype)
+        vy = sol.vy.astype(dtype)
+        p = sol.p.astype(dtype)
 
         # ---- dt selection (Courant + optional diffusion cap) ----------------
         vxmax = jnp.max(jnp.abs(vx))
@@ -139,18 +165,31 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
             H_g = _interp_with_fallback(
                 m.x, m.y, H_m, grid, "corner", "arithmetic", jnp.asarray(0.0, dtype)
             )
-            esol = solve_energy(
-                T_old,
-                k_g,
-                rhocp_g / dt,
-                H_g,
-                grid,
-                tbc,
-                tol=solver.energy_tol,
-                maxiter=solver.energy_maxiter,
-                k_avg=phys.k_face_avg,
-            )
-            T_new = esol.T
+            if mixed:
+                esol = solve_energy_mixed(
+                    T_old,
+                    k_g,
+                    rhocp_g / dt,
+                    H_g,
+                    grid,
+                    tbc,
+                    tol=solver.energy_tol,
+                    maxiter=solver.energy_maxiter,
+                    k_avg=phys.k_face_avg,
+                )
+            else:
+                esol = solve_energy(
+                    T_old,
+                    k_g,
+                    rhocp_g / dt,
+                    H_g,
+                    grid,
+                    tbc,
+                    tol=solver.energy_tol,
+                    maxiter=solver.energy_maxiter,
+                    k_avg=phys.k_face_avg,
+                )
+            T_new = esol.T.astype(dtype)
 
             if phys.subgrid_diffusion_d > 0.0:
                 # Gerya-style subgrid diffusion: relax marker T toward the

@@ -56,3 +56,54 @@ def solve_energy(
 
     T, info = cg(op, b, T_old, M=lambda r: r / diag, tol=tol, maxiter=maxiter)
     return EnergySolution(T, info)
+
+
+def solve_energy_mixed(
+    T_old,
+    k,
+    rhocp_over_dt,
+    H,
+    grid: StaggeredGrid,
+    bcs: ThermalBCs,
+    tol: float = 1e-10,
+    inner_tol: float = 1e-5,
+    maxiter: int = 500,
+    max_refinements: int = 5,
+    k_avg: str = "arithmetic",
+) -> EnergySolution:
+    """f32 CG inner solves inside f64 iterative refinement (see
+    solvers/refine.py)."""
+    import jax
+
+    from pylamp_tpu.solvers.refine import refine
+
+    f64, f32 = jnp.float64, jnp.float32
+    k64 = k.astype(f64)
+    rc64 = rhocp_over_dt.astype(f64)
+    kbnd = jnp.mean(rc64) + 4.0 * jnp.mean(k64) / min(grid.dx, grid.dy) ** 2
+
+    def op64(T):
+        return energy_operator(T, k64, rc64, grid, bcs, kbnd=kbnd, k_avg=k_avg)
+
+    b64 = energy_rhs(
+        T_old.astype(f64), k64, rc64, H.astype(f64), grid, bcs, kbnd=kbnd, k_avg=k_avg
+    )
+
+    k32, rc32, kbnd32 = k64.astype(f32), rc64.astype(f32), kbnd.astype(f32)
+
+    def op32(T):
+        return energy_operator(T, k32, rc32, grid, bcs, kbnd=kbnd32, k_avg=k_avg)
+
+    diag32 = energy_diagonal(k32, rc32, grid, bcs, kbnd32, k_avg)
+
+    def inner_solve(r32):
+        return cg(
+            op32, r32, jnp.zeros_like(r32), M=lambda r: r / diag32,
+            tol=inner_tol, maxiter=maxiter,
+        )
+
+    T, info = refine(
+        op64, inner_solve, b64, T_old.astype(f64), tol=tol,
+        max_refinements=max_refinements,
+    )
+    return EnergySolution(T, info)

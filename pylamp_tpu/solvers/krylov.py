@@ -133,6 +133,7 @@ def fgmres(
     atol: float = 0.0,
     restart: int = 30,
     maxiter: int = 1000,
+    stagnation: float = 0.95,
 ):
     """Flexible right-preconditioned GMRES(m).
 
@@ -140,6 +141,11 @@ def fgmres(
     variant stores the preconditioned basis Z so M need not be a fixed
     linear operator.  Returns (x, SolveInfo); iterations counts operator
     applications.
+
+    ``stagnation``: stop early when a whole restart cycle reduces the true
+    residual by less than this factor — in particular when the working
+    precision's roundoff floor is reached (f32 on TPU; the mixed-precision
+    wrapper in solvers/refine.py then takes over).
     """
     M = M or _identity
     m = restart
@@ -227,17 +233,17 @@ def fgmres(
         return x, k, res
 
     def cond(st):
-        _, it, res, first = st
-        return jnp.logical_and(res > target, it < maxiter)
+        _, it, res, prev = st
+        progressing = res < stagnation * prev
+        return jnp.logical_and(res > target, jnp.logical_and(it < maxiter, progressing))
 
     def body(st):
-        x, it, _, _ = st
+        x, it, res, _ = st
         x, k, _ = inner_cycle(x)
-        res = tnorm(tsub(b, op(x)))  # true residual at restart boundary
-        return x, it + k, res, jnp.array(False)
+        new_res = tnorm(tsub(b, op(x)))  # true residual at restart boundary
+        return x, it + k, new_res, res
 
     r0 = tnorm(tsub(b, op(x0)))
-    x, it, res, _ = lax.while_loop(
-        cond, body, (x0, jnp.array(0), r0, jnp.array(True))
-    )
+    inf = jnp.asarray(jnp.inf, r0.dtype)
+    x, it, res, _ = lax.while_loop(cond, body, (x0, jnp.array(0), r0, inf))
     return x, SolveInfo(it, res, res <= target)

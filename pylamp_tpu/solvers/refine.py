@@ -1,0 +1,65 @@
+"""Mixed-precision iterative refinement.
+
+TPU v5e has no hardware float64 (it is software-emulated and slow), but the
+accuracy bar is 1e-8 *relative residual* (BASELINE.json), which is below the
+float32 roundoff floor at 1024^2 (measured floor ~2e-4 relative).  The
+classic fix (SURVEY.md §7.3 item 5): keep the hot Krylov/multigrid path in
+f32 and wrap it in float64 refinement —
+
+    repeat:  r = b - A x      (one f64 operator application)
+             solve A dx ~= r  (full f32 inner solve, tol ~ its floor)
+             x <- x + dx      (f64 accumulate)
+
+Each refinement multiplies the residual by ~the inner solve's relative
+accuracy (1e-3..1e-4), so 2-4 refinements reach 1e-8.  The f64 operator is
+the SAME matrix-free stencil code, just applied to f64-cast inputs; it runs
+emulated but only once per refinement.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pylamp_tpu.solvers.krylov import SolveInfo, tnorm, tsub
+
+
+def _cast(tree, dtype):
+    return jax.tree.map(lambda l: l.astype(dtype), tree)
+
+
+def refine(
+    op64: Callable,
+    inner_solve32: Callable,
+    b64: Any,
+    x0_64: Any,
+    tol: float = 1e-8,
+    max_refinements: int = 6,
+):
+    """Generic pytree iterative refinement.
+
+    op64: f64 operator; inner_solve32(r32) -> (dx32, SolveInfo) solves
+    A dx = r in f32 from a zero initial guess.  Returns (x64, SolveInfo)
+    where iterations accumulates the inner iteration counts."""
+    bnorm = tnorm(b64)
+    target = tol * bnorm
+
+    def cond(st):
+        _, res, k, _ = st
+        return jnp.logical_and(res > target, k < max_refinements)
+
+    def body(st):
+        x, _, k, it = st
+        r = tsub(b64, op64(x))
+        dx32, info = inner_solve32(_cast(r, jnp.float32))
+        x = jax.tree.map(lambda xl, dl: xl + dl.astype(jnp.float64), x, dx32)
+        res = tnorm(tsub(b64, op64(x)))
+        return x, res, k + 1, it + info.iterations
+
+    r0 = tnorm(tsub(b64, op64(x0_64)))
+    x, res, k, it = lax.while_loop(
+        cond, body, (x0_64, r0, jnp.array(0), jnp.array(0))
+    )
+    return x, SolveInfo(it, res, res <= target)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from pylamp_tpu.core.bc import VelocityBCs
@@ -118,4 +119,81 @@ def solve_stokes(
         op, b, x0, M=M, tol=tol, restart=restart, maxiter=maxiter
     )
     p = p - jnp.mean(p)  # zero-mean gauge
+    return StokesSolution(vx, vy, p, info)
+
+
+def solve_stokes_mixed(
+    eta_s,
+    eta_n,
+    rho_vx,
+    rho_vy,
+    gx,
+    gy,
+    grid: StaggeredGrid,
+    bcs: VelocityBCs,
+    tol: float = 1e-8,
+    inner_tol: float = 1e-4,
+    restart: int = 40,
+    maxiter: int = 300,
+    max_refinements: int = 6,
+    x0=None,
+    make_preconditioner: Callable | None = None,
+) -> StokesSolution:
+    """Mixed-precision Stokes solve: f32 FGMRES+MG inner solves inside f64
+    iterative refinement (solvers/refine.py) — reaches 1e-8 relative
+    residual on TPU where f32 alone floors at ~1e-4 (SURVEY.md §7.3 item 5).
+
+    Inputs may be f32 or f64; the system is DEFINED by the f64 casts (the
+    same stencil), and the reported residual is measured in f64.
+    ``maxiter`` bounds each inner solve."""
+    from pylamp_tpu.solvers.refine import refine
+
+    f64 = jnp.float64
+    f32 = jnp.float32
+    eta_s64, eta_n64 = eta_s.astype(f64), eta_n.astype(f64)
+    eta_char = characteristic_viscosity(eta_n64)
+    kcont, kbnd = stokes_scales(eta_char, grid)
+
+    def op64(u):
+        vx, vy, p = u
+        return stokes_operator(
+            vx, vy, p, eta_s64, eta_n64, grid, bcs, kcont=kcont, kbnd=kbnd
+        )
+
+    b64 = stokes_rhs(
+        rho_vx.astype(f64), rho_vy.astype(f64), gx, gy, grid, bcs, kbnd=kbnd,
+        dtype=f64,
+    )
+
+    eta_s32, eta_n32 = eta_s64.astype(f32), eta_n64.astype(f32)
+    kcont32, kbnd32 = kcont.astype(f32), kbnd.astype(f32)
+
+    def op32(u):
+        vx, vy, p = u
+        return stokes_operator(
+            vx, vy, p, eta_s32, eta_n32, grid, bcs, kcont=kcont32, kbnd=kbnd32
+        )
+
+    mk = make_preconditioner or make_block_jacobi_preconditioner
+    M32 = mk(eta_s32, eta_n32, grid, kcont32, kbnd32, bcs=bcs)
+
+    def inner_solve(r32):
+        z0 = jax.tree.map(jnp.zeros_like, r32)
+        return fgmres(
+            op32, r32, z0, M=M32, tol=inner_tol, restart=restart, maxiter=maxiter
+        )
+
+    if x0 is None:
+        x0 = (
+            jnp.zeros(grid.shape_vx, f64),
+            jnp.zeros(grid.shape_vy, f64),
+            jnp.zeros(grid.shape_center, f64),
+        )
+    else:
+        x0 = jax.tree.map(lambda l: l.astype(f64), x0)
+
+    (vx, vy, p), info = refine(
+        op64, inner_solve, b64, x0, tol=tol, max_refinements=max_refinements
+    )
+    p = p - jnp.mean(p)
     return StokesSolution(vx, vy, p, info)

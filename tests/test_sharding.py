@@ -1,0 +1,51 @@
+"""Distributed tier (SURVEY.md §4): the sharded step must (a) run on an
+8-device mesh and (b) agree with the single-device run to solver tolerance."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pylamp_tpu.models.benchmarks import falling_block
+from pylamp_tpu.models.config import SolverConfig
+from pylamp_tpu.models.setup import build
+from pylamp_tpu.models.step import make_step
+from pylamp_tpu.parallel.mesh import make_mesh, shard_state, state_shardings
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_step_matches_single_device():
+    cfg = falling_block(nx=32, ny=32, max_steps=2)
+    cfg = dataclasses.replace(
+        cfg,
+        solver=SolverConfig(precision="f64", stokes_tol=1e-10,
+                            stokes_restart=40, stokes_maxiter=400),
+    )
+    grid, table, state0 = build(cfg)
+    step = make_step(grid, cfg, table)
+
+    # single device
+    s1, d1 = jax.jit(step)(state0)
+
+    # 8-device 2-D mesh
+    mesh = make_mesh(8)
+    sharded = shard_state(state0, mesh)
+    shardings = state_shardings(mesh, state0)
+    s8, d8 = jax.jit(step, in_shardings=(shardings,))(sharded)
+
+    assert bool(d8["stokes_converged"])
+    tol = 1e-8  # both runs solve to 1e-10; iteration order may differ
+    vref = float(jnp.max(jnp.abs(s1.vy)))
+    np.testing.assert_allclose(np.asarray(s8.vx), np.asarray(s1.vx), atol=tol * max(vref, 1))
+    np.testing.assert_allclose(np.asarray(s8.vy), np.asarray(s1.vy), atol=tol * max(vref, 1))
+    np.testing.assert_allclose(
+        np.asarray(s8.markers.y), np.asarray(s1.markers.y), atol=1e-9
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dryrun_multichip():
+    from pylamp_tpu.parallel.dryrun import dryrun_multichip
+
+    dryrun_multichip(8)
