@@ -1,0 +1,91 @@
+"""Benchmark harness: the BASELINE.json metric.
+
+Measures 1024^2 variable-viscosity Stokes + energy + marker timesteps/sec
+(mixed precision, every step solved to 1e-8 relative residual) on the
+available accelerator, and prints ONE JSON line.
+
+Baseline: the reference's method (scipy assemble + SuperLU spsolve; the
+reference repo publishes no numbers and the mount was empty — BASELINE.md)
+measured here via tests/oracle on this machine's CPU: 256^2 Stokes
+assemble+solve = 21.6 s; scaling assembly O(N) and spsolve ~O(N^1.5) to
+1024^2 and adding the energy solve gives ~1100 s/step => 9.1e-4 steps/s.
+"""
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from pylamp_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+BASELINE_STEPS_PER_SEC = 1.0 / 1100.0  # reference-method CPU estimate (see above)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--tol", type=float, default=1e-8)
+    args = ap.parse_args()
+
+    from pylamp_tpu.models.benchmarks import fk_stagnant_lid
+    from pylamp_tpu.models.config import SolverConfig
+    from pylamp_tpu.models.setup import build
+    from pylamp_tpu.models.step import make_step
+
+    # Variable-viscosity (Frank-Kamenetskii, 1e4 contrast) convection with
+    # energy + markers: the full BASELINE metric workload.
+    cfg = fk_stagnant_lid(nx=args.nx, ny=args.nx, max_steps=10**9)
+    cfg = dataclasses.replace(
+        cfg,
+        solver=SolverConfig(
+            stokes_tol=args.tol,
+            stokes_restart=40,
+            stokes_maxiter=250,
+            energy_tol=1e-10,
+        ),
+    )
+    grid, table, state = build(cfg, dtype=jnp.float32)
+    step = jax.jit(make_step(grid, cfg, table))
+
+    # warmup / compile
+    state, diag = step(state)
+    jax.block_until_ready(state.vx)
+
+    t0 = time.perf_counter()
+    iters = 0
+    for _ in range(args.steps):
+        state, diag = step(state)
+        iters += int(diag["stokes_iterations"])
+    jax.block_until_ready(state.vx)
+    wall = time.perf_counter() - t0
+
+    steps_per_sec = args.steps / wall
+    result = {
+        "metric": f"{args.nx}^2 variable-viscosity Stokes+energy+marker timesteps/sec (1e-8 rel residual, mixed f32/f64)",
+        "value": round(steps_per_sec, 5),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+        "detail": {
+            "seconds_per_step": round(wall / args.steps, 3),
+            "krylov_iters_per_step": round(iters / args.steps, 1),
+            "stokes_residual": float(diag["stokes_residual"]),
+            "stokes_converged": bool(diag["stokes_converged"]),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,14 +16,29 @@ from pylamp_tpu.physics.materials import MaterialTable
 
 
 def build(cfg: ModelConfig, dtype=jnp.float64):
-    """Returns (grid, table, initial ModelState)."""
+    """Returns (grid, table, initial ModelState).
+
+    The device-side phases (seeding, initial marker->grid interpolation)
+    are jitted: eager per-op dispatch on 10M-marker arrays is prohibitively
+    slow on TPU."""
     grid = StaggeredGrid(nx=cfg.nx, ny=cfg.ny, lx=cfg.lx, ly=cfg.ly)
     table = MaterialTable(cfg.physics.materials)
 
-    key = jax.random.PRNGKey(cfg.seed)
-    x, y = seed_markers(grid, cfg.markers_per_cell_dim, key=key, dtype=dtype)
+    # Host-side seeding mirror (numpy) so material/T geometry predicates run
+    # on the host; the single jit below does ALL device work (on this TPU
+    # setup every eager op pays a full remote-compile round trip).
+    m = cfg.markers_per_cell_dim
+    nxm, nym = grid.nx * m, grid.ny * m
+    ddx, ddy = grid.lx / nxm, grid.ly / nym
+    xs = (np.arange(nxm) + 0.5) * ddx
+    ys = (np.arange(nym) + 0.5) * ddy
+    Yh, Xh = np.meshgrid(ys, xs, indexing="ij")
+    rng = np.random.default_rng(cfg.seed)
+    xh = Xh.ravel() + rng.uniform(-0.25, 0.25, nxm * nym) * ddx
+    yh = Yh.ravel() + rng.uniform(-0.25, 0.25, nxm * nym) * ddy
+    xh = np.clip(xh, 1e-6 * grid.dx, grid.lx - 1e-6 * grid.dx)
+    yh = np.clip(yh, 1e-6 * grid.dy, grid.ly - 1e-6 * grid.dy)
 
-    xh, yh = np.asarray(x), np.asarray(y)
     mat = (
         np.asarray(cfg.material_of(xh, yh), dtype=np.int32)
         if cfg.material_of
@@ -35,19 +50,31 @@ def build(cfg: ModelConfig, dtype=jnp.float64):
         else np.zeros(xh.shape)
     )
 
-    markers = MarkerState(
-        x=x, y=y, mat=jnp.asarray(mat), T=jnp.asarray(T, dtype)
-    )
-    state = zero_state(grid, markers, dtype)
+    @jax.jit
+    def _make_state(xd, yd, matd, Td):
+        markers = MarkerState(
+            x=xd.astype(dtype), y=yd.astype(dtype), mat=matd, T=Td.astype(dtype)
+        )
+        state = zero_state(grid, markers, dtype)
+        # Pre-fill grid mirrors (fallback values for starved nodes at step 1).
+        eta_m = jnp.clip(
+            table.viscosity_of(markers.mat, markers.T),
+            cfg.physics.eta_min,
+            cfg.physics.eta_max,
+        )
+        eta_s, _ = markers_to_grid(
+            markers.x, markers.y, eta_m, grid, "corner", cfg.physics.eta_avg
+        )
+        eta_n, _ = markers_to_grid(
+            markers.x, markers.y, eta_m, grid, "center", cfg.physics.eta_avg
+        )
+        T_g, _ = markers_to_grid(
+            markers.x, markers.y, markers.T, grid, "corner", "arithmetic"
+        )
+        return state.replace(eta_s=eta_s, eta_n=eta_n, T=T_g)
 
-    # Pre-fill grid mirrors (fallback values for starved nodes at step 1).
-    eta_m = jnp.clip(
-        table.viscosity_of(markers.mat, markers.T),
-        cfg.physics.eta_min,
-        cfg.physics.eta_max,
+    state = _make_state(
+        jax.device_put(xh), jax.device_put(yh), jax.device_put(mat),
+        jax.device_put(T),
     )
-    eta_s, _ = markers_to_grid(x, y, eta_m, grid, "corner", cfg.physics.eta_avg)
-    eta_n, _ = markers_to_grid(x, y, eta_m, grid, "center", cfg.physics.eta_avg)
-    T_g, _ = markers_to_grid(x, y, markers.T, grid, "corner", "arithmetic")
-    state = state.replace(eta_s=eta_s, eta_n=eta_n, T=T_g)
     return grid, table, state
