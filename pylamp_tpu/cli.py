@@ -1,0 +1,97 @@
+"""Command-line entry point (the reference is configured by editing the
+script; SURVEY.md §5 'Config / flag system' prescribes a CLI).
+
+    python -m pylamp_tpu run <benchmark> [--nx N] [--steps N] [--out DIR]
+    python -m pylamp_tpu bench [--nx N]
+    python -m pylamp_tpu list
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+
+BENCHMARKS = {
+    "falling_block": "falling_block",
+    "blankenbach": "blankenbach_case1a",
+    "fk_stagnant_lid": "fk_stagnant_lid",
+    "rt_van_keken": "rt_van_keken",
+    "sticky_air": "sticky_air",
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="pylamp_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run a benchmark model")
+    runp.add_argument("benchmark", choices=sorted(BENCHMARKS))
+    runp.add_argument("--nx", type=int, default=None)
+    runp.add_argument("--ny", type=int, default=None)
+    runp.add_argument("--steps", type=int, default=None)
+    runp.add_argument("--out", type=str, default=None)
+    runp.add_argument("--checkpoint-every", type=int, default=0)
+    runp.add_argument("--output-every", type=int, default=0)
+    runp.add_argument("--resume", type=str, default=None)
+    runp.add_argument("--f32", action="store_true",
+                      help="f32 state (mixed-precision solves if x64 is on)")
+    runp.add_argument("--x64", action="store_true", help="enable float64")
+
+    benchp = sub.add_parser("bench", help="run the BASELINE metric harness")
+    benchp.add_argument("--nx", type=int, default=1024)
+    benchp.add_argument("--steps", type=int, default=5)
+
+    sub.add_parser("list", help="list available benchmark models")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "list":
+        for name in sorted(BENCHMARKS):
+            print(name)
+        return 0
+
+    if args.cmd == "bench":
+        import subprocess
+
+        return subprocess.call(
+            [sys.executable, "bench.py", "--nx", str(args.nx), "--steps", str(args.steps)]
+        )
+
+    import jax
+
+    if args.x64 or args.f32:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from pylamp_tpu.models import benchmarks as B
+    from pylamp_tpu.models.driver import run_model
+    from pylamp_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    factory = getattr(B, BENCHMARKS[args.benchmark])
+    kw = {}
+    if args.nx:
+        kw["nx"] = args.nx
+        kw["ny"] = args.ny or args.nx
+    cfg = factory(**kw)
+    if args.steps:
+        cfg = dataclasses.replace(
+            cfg, time=dataclasses.replace(cfg.time, max_steps=args.steps)
+        )
+
+    state, diags, grid = run_model(
+        cfg,
+        out_dir=args.out,
+        checkpoint_every=args.checkpoint_every,
+        output_every=args.output_every,
+        resume_from=args.resume,
+        echo=True,
+    )
+    print(f"done: {int(state.step)} steps, t={float(state.time):.6g}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,14 +19,25 @@ from pylamp_tpu.physics.materials import Material
 # -- diagnostics --------------------------------------------------------------
 
 def nusselt_top(T, grid):
-    """Nu = -<dT/dy> at the top wall (unit box, DT = 1, conductive Nu = 1).
-    One-sided 2nd-order difference on corner nodes, trapezoid in x."""
+    """Nu = <dT/dy> at the top wall (y points DOWN, T=0 top / T=1 bottom on
+    the unit box, so the conductive profile T=y gives Nu = 1).  One-sided
+    2nd-order difference on corner nodes, trapezoid in x."""
     import jax.numpy as jnp
 
     dy = grid.dy
     dTdy = (-3.0 * T[0, :] + 4.0 * T[1, :] - T[2, :]) / (2.0 * dy)
     w = jnp.ones(grid.nx + 1).at[0].set(0.5).at[-1].set(0.5)
-    return -jnp.sum(dTdy * w) / grid.nx
+    return jnp.sum(dTdy * w) / grid.nx
+
+
+def nusselt_bottom(T, grid):
+    """Nu at the bottom wall (equals nusselt_top in steady state)."""
+    import jax.numpy as jnp
+
+    dy = grid.dy
+    dTdy = (3.0 * T[-1, :] - 4.0 * T[-2, :] + T[-3, :]) / (2.0 * dy)
+    w = jnp.ones(grid.nx + 1).at[0].set(0.5).at[-1].set(0.5)
+    return jnp.sum(dTdy * w) / grid.nx
 
 
 def vrms_box(vx, vy):
