@@ -107,7 +107,7 @@ def blankenbach_case1a(nx=64, ny=64, Ra=1e4, max_steps=2000, max_time=0.25):
                 right=ThermalBC("neumann", 0.0),
             ),
             solve_energy=True,
-            subgrid_diffusion_d=1.0,
+            subgrid_diffusion_d=0.0,  # d=1 over-damps the thermal BL at 64^2: Nu -13% (measured); 0 = plain dT remap
         ),
         solver=SolverConfig(),
         time=TimeConfig(courant=0.5, max_steps=max_steps, max_time=max_time,
@@ -146,7 +146,7 @@ def fk_stagnant_lid(nx=64, ny=64, Ra_top=10.0, visc_contrast=1e4,
                 bottom=ThermalBC("dirichlet", 1.0),
             ),
             solve_energy=True,
-            subgrid_diffusion_d=1.0,
+            subgrid_diffusion_d=0.0,  # d=1 over-damps the thermal BL at 64^2: Nu -13% (measured); 0 = plain dT remap
             eta_min=np.exp(-gamma) * 1e-3,
             eta_max=1e3,
         ),
