@@ -27,6 +27,8 @@ class PhysicsConfig:
     k_face_avg: str = "arithmetic"
     solve_energy: bool = True
     subgrid_diffusion_d: float = 0.0  # 0 = plain dT remapping; ~1 = Gerya
+    reseed_min_per_cell: int = 0  # 0 = reseeding off
+    reseed_max_moves: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

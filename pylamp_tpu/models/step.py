@@ -222,6 +222,19 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
         px, py = advect_rk4(markers.x, markers.y, vx, vy, dt, grid, vbc)
         markers = markers.replace(x=px, y=py)
 
+        # ---- repopulate starved cells (optional) ------------------------------
+        if phys.reseed_min_per_cell > 0:
+            from pylamp_tpu.markers.reseed import reseed_starved
+
+            markers = reseed_starved(
+                markers,
+                T_new,
+                grid,
+                n_materials=len(table),
+                min_per_cell=phys.reseed_min_per_cell,
+                max_moves=phys.reseed_max_moves,
+            )
+
         new_state = state.replace(
             markers=markers,
             vx=vx,
