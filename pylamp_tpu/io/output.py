@@ -25,12 +25,23 @@ def save_fields(path: str, state: ModelState, grid, markers: bool = True):
         y_corner=grid.y_corner,
     )
     if markers:
-        data.update(
-            marker_x=np.asarray(state.markers.x),
-            marker_y=np.asarray(state.markers.y),
-            marker_mat=np.asarray(state.markers.mat),
-            marker_T=np.asarray(state.markers.T),
-        )
+        m = state.markers
+        if hasattr(m, "valid"):  # bucketed engine: emit only live markers
+            from pylamp_tpu.markers.bucket import flatten
+
+            fx, fy, fm, fT, fv = (np.asarray(a) for a in flatten(m))
+            sel = fv.astype(bool)
+            data.update(
+                marker_x=fx[sel], marker_y=fy[sel],
+                marker_mat=fm[sel], marker_T=fT[sel],
+            )
+        else:
+            data.update(
+                marker_x=np.asarray(m.x),
+                marker_y=np.asarray(m.y),
+                marker_mat=np.asarray(m.mat),
+                marker_T=np.asarray(m.T),
+            )
     np.savez_compressed(path, **data)
 
 

@@ -69,6 +69,11 @@ class ModelConfig:
     lx: float = 1.0
     ly: float = 1.0
     markers_per_cell_dim: int = 3
+    # "bucket": dense (ny, nx, K) cell-bucketed markers — the TPU hot path
+    # (no scatter/gather in the step); "flat": (N,) arrays with XLA
+    # scatter/gather (reference-style semantics, used by oracle-parity tests)
+    marker_engine: str = "bucket"
+    marker_capacity: int = 0  # 0 = auto: 2 * markers_per_cell_dim^2
     seed: int = 0
     physics: PhysicsConfig = PhysicsConfig()
     solver: SolverConfig = SolverConfig()

@@ -31,7 +31,7 @@ def run_model(
     Returns (final_state, diagnostics list, grid)."""
     grid, table, state = build(cfg)
     if resume_from:
-        state, _ = load_checkpoint(resume_from)
+        state, _ = load_checkpoint(resume_from, template=state)
 
     step = jax.jit(make_step(grid, cfg, table))
     logger = MetricsLogger(

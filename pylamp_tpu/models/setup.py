@@ -50,11 +50,23 @@ def build(cfg: ModelConfig, dtype=jnp.float64):
         else np.zeros(xh.shape)
     )
 
+    capacity = cfg.marker_capacity or 2 * cfg.markers_per_cell_dim**2
+
     @jax.jit
     def _make_state(xd, yd, matd, Td):
-        markers = MarkerState(
-            x=xd.astype(dtype), y=yd.astype(dtype), mat=matd, T=Td.astype(dtype)
-        )
+        if cfg.marker_engine == "bucket":
+            from pylamp_tpu.markers.bucket import bucket_from_flat
+
+            markers = bucket_from_flat(
+                xd.astype(dtype), yd.astype(dtype), matd, Td.astype(dtype),
+                grid, capacity,
+            )
+        elif cfg.marker_engine == "flat":
+            markers = MarkerState(
+                x=xd.astype(dtype), y=yd.astype(dtype), mat=matd, T=Td.astype(dtype)
+            )
+        else:
+            raise ValueError(f"unknown marker engine {cfg.marker_engine!r}")
         state = zero_state(grid, markers, dtype)
         # Pre-fill grid mirrors (fallback values for starved nodes at step 1).
         eta_m = jnp.clip(
@@ -62,15 +74,28 @@ def build(cfg: ModelConfig, dtype=jnp.float64):
             cfg.physics.eta_min,
             cfg.physics.eta_max,
         )
-        eta_s, _ = markers_to_grid(
-            markers.x, markers.y, eta_m, grid, "corner", cfg.physics.eta_avg
-        )
-        eta_n, _ = markers_to_grid(
-            markers.x, markers.y, eta_m, grid, "center", cfg.physics.eta_avg
-        )
-        T_g, _ = markers_to_grid(
-            markers.x, markers.y, markers.T, grid, "corner", "arithmetic"
-        )
+        if cfg.marker_engine == "bucket":
+            from pylamp_tpu.markers.bucket import bucket_markers_to_grid
+
+            eta_s, _ = bucket_markers_to_grid(
+                markers, eta_m, grid, "corner", cfg.physics.eta_avg
+            )
+            eta_n, _ = bucket_markers_to_grid(
+                markers, eta_m, grid, "center", cfg.physics.eta_avg
+            )
+            T_g, _ = bucket_markers_to_grid(
+                markers, markers.T, grid, "corner", "arithmetic"
+            )
+        else:
+            eta_s, _ = markers_to_grid(
+                markers.x, markers.y, eta_m, grid, "corner", cfg.physics.eta_avg
+            )
+            eta_n, _ = markers_to_grid(
+                markers.x, markers.y, eta_m, grid, "center", cfg.physics.eta_avg
+            )
+            T_g, _ = markers_to_grid(
+                markers.x, markers.y, markers.T, grid, "corner", "arithmetic"
+            )
         return state.replace(eta_s=eta_s, eta_n=eta_n, T=T_g)
 
     state = _make_state(

@@ -18,6 +18,14 @@ import jax.numpy as jnp
 
 from pylamp_tpu.core.grid import StaggeredGrid
 from pylamp_tpu.markers.advect import advect_rk4
+from pylamp_tpu.markers.bucket import (
+    BucketedMarkers,
+    bucket_advect_rk4,
+    bucket_grid_to_markers,
+    bucket_markers_to_grid,
+    bucket_reseed,
+    rebucket,
+)
 from pylamp_tpu.markers.interp import grid_to_markers, markers_to_grid
 from pylamp_tpu.models.config import ModelConfig
 from pylamp_tpu.models.state import ModelState
@@ -26,9 +34,32 @@ from pylamp_tpu.solvers.energy_solver import solve_energy, solve_energy_mixed
 from pylamp_tpu.solvers.stokes_solver import solve_stokes, solve_stokes_mixed
 
 
-def _interp_with_fallback(px, py, vals, grid, loc, mode, fallback):
-    field, wsum = markers_to_grid(px, py, vals, grid, loc, mode)
+def _m2g(markers, vals, grid, loc, mode):
+    """Engine-dispatching marker->grid transfer."""
+    if isinstance(markers, BucketedMarkers):
+        return bucket_markers_to_grid(markers, vals, grid, loc, mode)
+    return markers_to_grid(markers.x, markers.y, vals, grid, loc, mode)
+
+
+def _g2m(markers, field, grid, loc):
+    """Engine-dispatching grid->marker interpolation."""
+    if isinstance(markers, BucketedMarkers):
+        return bucket_grid_to_markers(field, markers.x, markers.y, markers.valid, grid, loc)
+    return grid_to_markers(field, markers.x, markers.y, grid, loc)
+
+
+def _interp_with_fallback(markers, vals, grid, loc, mode, fallback):
+    field, wsum = _m2g(markers, vals, grid, loc, mode)
     return jnp.where(wsum > 0, field, fallback)
+
+
+def _marker_mean(markers, vals):
+    if isinstance(markers, BucketedMarkers):
+        w = markers.valid
+        return jnp.sum(jnp.where(w, vals, 0.0)) / jnp.maximum(
+            jnp.sum(w.astype(vals.dtype)), 1.0
+        )
+    return jnp.mean(vals)
 
 
 def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
@@ -65,14 +96,14 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
         H_m = table.heating(m.mat, dtype)
 
         # ---- marker -> grid ------------------------------------------------
-        eta_s = _interp_with_fallback(m.x, m.y, eta_m, grid, "corner", phys.eta_avg, state.eta_s)
-        eta_n = _interp_with_fallback(m.x, m.y, eta_m, grid, "center", phys.eta_avg, state.eta_n)
+        eta_s = _interp_with_fallback(m, eta_m, grid, "corner", phys.eta_avg, state.eta_s)
+        eta_n = _interp_with_fallback(m, eta_m, grid, "center", phys.eta_avg, state.eta_n)
         rho_vy = _interp_with_fallback(
-            m.x, m.y, rho_m, grid, "vy", "arithmetic", jnp.mean(rho_m)
+            m, rho_m, grid, "vy", "arithmetic", _marker_mean(m, rho_m)
         )
         if phys.gx != 0.0:
             rho_vx = _interp_with_fallback(
-                m.x, m.y, rho_m, grid, "vx", "arithmetic", jnp.mean(rho_m)
+                m, rho_m, grid, "vx", "arithmetic", _marker_mean(m, rho_m)
             )
         else:
             rho_vx = jnp.zeros(grid.shape_vx, dtype)
@@ -154,16 +185,16 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
         markers = m
         if phys.solve_energy:
             T_old = _interp_with_fallback(
-                m.x, m.y, m.T, grid, "corner", "arithmetic", state.T
+                m, m.T, grid, "corner", "arithmetic", state.T
             )
             k_g = _interp_with_fallback(
-                m.x, m.y, k_m, grid, "corner", "arithmetic", jnp.mean(k_m)
+                m, k_m, grid, "corner", "arithmetic", _marker_mean(m, k_m)
             )
             rhocp_g = _interp_with_fallback(
-                m.x, m.y, rhocp_m, grid, "corner", "arithmetic", jnp.mean(rhocp_m)
+                m, rhocp_m, grid, "corner", "arithmetic", _marker_mean(m, rhocp_m)
             )
             H_g = _interp_with_fallback(
-                m.x, m.y, H_m, grid, "corner", "arithmetic", jnp.asarray(0.0, dtype)
+                m, H_m, grid, "corner", "arithmetic", jnp.asarray(0.0, dtype)
             )
             if mixed:
                 esol = solve_energy_mixed(
@@ -196,21 +227,19 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
                 # old grid T on the cell-diffusion timescale, then remap
                 # only the remaining part of dT (SURVEY.md §2.1
                 # "subgrid-diffusion correction").
-                T_node_at_m = grid_to_markers(T_old, m.x, m.y, grid, "corner")
+                T_node_at_m = _g2m(m, T_old, grid, "corner")
                 t_diff = rhocp_m / (
                     k_m * (2.0 / grid.dx**2 + 2.0 / grid.dy**2)
                 )
                 relax = 1.0 - jnp.exp(-phys.subgrid_diffusion_d * dt / t_diff)
                 dT_sub_m = (T_node_at_m - m.T) * relax
-                dT_sub_g, wsub = markers_to_grid(
-                    m.x, m.y, dT_sub_m, grid, "corner", "arithmetic"
-                )
+                dT_sub_g, wsub = _m2g(m, dT_sub_m, grid, "corner", "arithmetic")
                 dT_sub_g = jnp.where(wsub > 0, dT_sub_g, 0.0)
                 dT_rem = (T_new - T_old) - dT_sub_g
-                T_m = m.T + dT_sub_m + grid_to_markers(dT_rem, m.x, m.y, grid, "corner")
+                T_m = m.T + dT_sub_m + _g2m(m, dT_rem, grid, "corner")
             else:
                 dT = T_new - T_old
-                T_m = m.T + grid_to_markers(dT, m.x, m.y, grid, "corner")
+                T_m = m.T + _g2m(m, dT, grid, "corner")
 
             markers = markers.replace(T=T_m)
             diag["energy_iterations"] = esol.info.iterations
@@ -218,22 +247,32 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
         else:
             T_new = state.T
 
-        # ---- advect markers --------------------------------------------------
-        px, py = advect_rk4(markers.x, markers.y, vx, vy, dt, grid, vbc)
-        markers = markers.replace(x=px, y=py)
+        # ---- advect markers (+ re-bucket in the dense engine) -----------------
+        if isinstance(markers, BucketedMarkers):
+            markers = bucket_advect_rk4(markers, vx, vy, dt, grid, vbc)
+            markers, dropped = rebucket(markers, grid)
+            diag["markers_dropped"] = dropped
+            diag["marker_count"] = markers.total()
+            if phys.reseed_min_per_cell > 0:
+                markers = bucket_reseed(
+                    markers, T_new, grid, min_per_cell=phys.reseed_min_per_cell
+                )
+        else:
+            px, py = advect_rk4(markers.x, markers.y, vx, vy, dt, grid, vbc)
+            markers = markers.replace(x=px, y=py)
 
-        # ---- repopulate starved cells (optional) ------------------------------
-        if phys.reseed_min_per_cell > 0:
-            from pylamp_tpu.markers.reseed import reseed_starved
+            # ---- repopulate starved cells (optional) --------------------------
+            if phys.reseed_min_per_cell > 0:
+                from pylamp_tpu.markers.reseed import reseed_starved
 
-            markers = reseed_starved(
-                markers,
-                T_new,
-                grid,
-                n_materials=len(table),
-                min_per_cell=phys.reseed_min_per_cell,
-                max_moves=phys.reseed_max_moves,
-            )
+                markers = reseed_starved(
+                    markers,
+                    T_new,
+                    grid,
+                    n_materials=len(table),
+                    min_per_cell=phys.reseed_min_per_cell,
+                    max_moves=phys.reseed_max_moves,
+                )
 
         new_state = state.replace(
             markers=markers,

@@ -57,6 +57,10 @@ def state_shardings(mesh: Mesh, state):
     nall = ysize * xsize
 
     def spec_for(leaf):
+        if leaf.ndim == 3:  # bucketed markers: (ny, nx, K)
+            sy = "y" if leaf.shape[0] % ysize == 0 else None
+            sx = "x" if leaf.shape[1] % xsize == 0 else None
+            return NamedSharding(mesh, P(sy, sx, None))
         if leaf.ndim == 2:
             sy = "y" if leaf.shape[0] % ysize == 0 else None
             sx = "x" if leaf.shape[1] % xsize == 0 else None

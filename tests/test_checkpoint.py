@@ -27,8 +27,10 @@ def test_exact_resume(tmp_path):
     for _ in range(2):
         cont, _ = step(cont)
 
-    # resume from checkpoint and run the same 2 steps
-    resumed, extra = load_checkpoint(ckpt)
+    # resume from checkpoint and run the same 2 steps (template = a fresh
+    # build of the same config, as the driver does)
+    _, _, template = build(cfg)
+    resumed, extra = load_checkpoint(ckpt, template=template)
     assert int(extra["note"]) == 1
     for _ in range(2):
         resumed, _ = step(resumed)

@@ -51,8 +51,9 @@ def _reference_style_step(state, grid, cfg, table):
 def test_falling_block_step_matches_reference_path():
     cfg = falling_block(nx=16, ny=16, max_steps=3)
     cfg = dataclasses.replace(
-        cfg, solver=SolverConfig(stokes_tol=1e-11, stokes_restart=60,
-                                 stokes_maxiter=4000, preconditioner="jacobi")
+        cfg, marker_engine="flat",  # flat semantics match the reference path 1:1
+        solver=SolverConfig(stokes_tol=1e-11, stokes_restart=60,
+                            stokes_maxiter=4000, preconditioner="jacobi")
     )
     grid, table, state0 = build(cfg)
     step = jax.jit(make_step(grid, cfg, table))
@@ -89,7 +90,7 @@ def test_step_runs_with_energy_and_is_finite():
     cfg = dataclasses.replace(
         cfg, solver=SolverConfig(stokes_tol=1e-8, stokes_restart=60,
                                  stokes_maxiter=3000, preconditioner="jacobi")
-    )
+    )  # default bucket engine: exercises the dense marker path end-to-end
     grid, table, state = build(cfg)
     step = jax.jit(make_step(grid, cfg, table))
     for _ in range(3):
