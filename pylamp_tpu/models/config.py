@@ -48,6 +48,7 @@ class SolverConfig:
     # viscosity contrast: a marginal cycle amplifies when iterated)
     mg_pre_smooth: int = 3  # Chebyshev degree
     mg_post_smooth: int = 3
+    use_pallas: bool = True  # fused TPU stencil kernels on eligible levels
     energy_tol: float = 1e-10
     energy_maxiter: int = 2000
 

@@ -78,6 +78,7 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
             cycles=solver.mg_cycles,
             pre_smooth=solver.mg_pre_smooth,
             post_smooth=solver.mg_post_smooth,
+            use_pallas=solver.use_pallas,
         )
     elif solver.preconditioner == "jacobi":
         make_precond = None

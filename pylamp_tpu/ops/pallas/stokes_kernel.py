@@ -1,0 +1,174 @@
+"""Pallas TPU kernel: fused variable-viscosity momentum-operator application.
+
+This is the hot stencil of the whole framework: the multigrid smoother
+applies it ~10x per Krylov iteration (SURVEY.md §7.2 step 7 "Pallas stencil
+fusion").  The jnp implementation materializes the ghost concatenations and
+the three stress fields in HBM; this kernel streams row blocks through VMEM
+and computes
+
+    rx = -(d sxx/dx + d sxy/dy)     (+ kbnd on the wall-normal columns)
+    ry = -(d sxy/dx + d syy/dy)     (+ kbnd on the wall-normal rows)
+
+in a single pass.  Inputs are pre-padded with their BC ghost rows/columns on
+the host side (cheap concats) so every block's halo read is a static-size
+`pl.ds` slice:
+
+    vxg  = (ny+2, nx+1)  vx with ghost rows (free slip +, no slip -)
+    vyg2 = (ny+3, nx+2)  vy with ghost cols AND one zero row top+bottom
+    esp  = (ny+2, nx+1)  eta_s with one zero row at the bottom
+    enp  = (ny+2, nx)    eta_n with one zero row top+bottom
+
+Inputs stay in HBM (`pltpu.ANY`) and are DMA'd per block; outputs are
+written through disjoint VMEM row blocks.  float32 only (it runs inside the
+f32 inner solves of the mixed-precision scheme).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pylamp_tpu.core.bc import VelocityBCs
+from pylamp_tpu.core.grid import StaggeredGrid
+
+
+def _kernel(vxg_hbm, vyg2_hbm, esp_hbm, enp_hbm, rx_ref, ry_ref, *, br, grid, kbnd_s):
+    ny, nx = grid.ny, grid.nx
+    dx = grid.dx
+    dy = grid.dy
+    r0 = pl.program_id(0) * br
+
+    def body(vxg, vyg2, esp, enp, sems):
+        copies = (
+            pltpu.make_async_copy(vxg_hbm.at[pl.ds(r0, br + 2)], vxg, sems.at[0]),
+            pltpu.make_async_copy(vyg2_hbm.at[pl.ds(r0, br + 2)], vyg2, sems.at[1]),
+            pltpu.make_async_copy(esp_hbm.at[pl.ds(r0, br + 2)], esp, sems.at[2]),
+            pltpu.make_async_copy(enp_hbm.at[pl.ds(r0, br + 2)], enp, sems.at[3]),
+        )
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        # Local row indexing (block-relative):
+        #   vxg[k]  = global vx ghost row r0 + k          (vx row j -> k = j - r0 + 1)
+        #   vyg2[k] = global vy ghost row r0 + k - 1      (vy row j -> k = j - r0 + 1)
+        #   esp[k]  = eta_s row r0 + k                    (row J  -> k = J - r0)
+        #   enp[k]  = eta_n row r0 + k - 1                (row j  -> k = j - r0 + 1)
+
+        # sxy on corner rows J = r0 .. r0+br  (local esp rows 0..br):
+        #   sxy[J] = es[J] * ((vxg[J+1] - vxg[J])/dy + (vyg[:,1:] - vyg[:,:-1])/dx)
+        # with vxg local k = J - r0 (+1 for J+1), vyg row J -> vyg2 local J - r0 + 1.
+        vx_lo = vxg[0 : br + 1, :]
+        vx_hi = vxg[1 : br + 2, :]
+        vy_mid = vyg2[1 : br + 2, :]
+        sxy = esp[0 : br + 1, :] * (
+            (vx_hi - vx_lo) / dy + (vy_mid[:, 1:] - vy_mid[:, :-1]) / dx
+        )  # rows J = r0 .. r0+br  -> (br+1, nx+1)
+
+        # sxx on vx rows j = r0 .. r0+br-1 (cell rows): vx row j -> vxg k = j-r0+1
+        vx_c = vxg[1 : br + 1, :]  # (br, nx+1)
+        en_c = enp[1 : br + 1, :]  # eta_n rows j  -> (br, nx)
+        sxx = 2.0 * en_c * (vx_c[:, 1:] - vx_c[:, :-1]) / dx  # (br, nx)
+
+        # rx rows j = r0 .. r0+br-1
+        rx_int = (
+            -(sxx[:, 1:] - sxx[:, :-1]) / dx
+            - (sxy[1 : br + 1, 1:-1] - sxy[0:br, 1:-1]) / dy
+        )  # (br, nx-1)
+        kb = kbnd_s[0]
+        rx = jnp.concatenate(
+            [kb * vx_c[:, :1], rx_int, kb * vx_c[:, -1:]], axis=1
+        )
+        rx_ref[:, :] = rx
+
+        # syy on cell rows j = r0-1 .. r0+br-1 (needed for ry rows r0..r0+br-1):
+        #   syy[j] = 2 en[j] * (vy[j+1] - vy[j])/dy ; vy row j -> vyg2 k = j-r0+1
+        vy_all = vyg2[:, 1:-1]  # strip ghost cols -> vy rows r0-1 .. r0+br
+        syy = 2.0 * enp[0 : br + 1, :] * (vy_all[1 : br + 2, :] - vy_all[0 : br + 1, :]) / dy
+        # rows j = r0-1 .. r0+br-1 -> (br+1, nx)
+
+        # ry rows j = r0 .. r0+br-1: -(syy[j]-syy[j-1])/dy - (sxy[j,i+1]-sxy[j,i])/dx
+        sxy_row = sxy[0:br, :]  # corner rows J = r0 .. r0+br-1
+        ry_all = (
+            -(syy[1 : br + 1, :] - syy[0:br, :]) / dy
+            - (sxy_row[:, 1:] - sxy_row[:, :-1]) / dx
+        )  # (br, nx)
+        # Dirichlet row j == 0 (the j == ny row is appended outside the
+        # kernel: the blocked output covers vy rows 0 .. ny-1 only)
+        grow = r0 + lax.broadcasted_iota(jnp.int32, (br, nx), 0)
+        vy_c = vy_all[1 : br + 1, :]  # vy rows r0 .. r0+br-1
+        ry_ref[:, :] = jnp.where(grow == 0, kb * vy_c, ry_all)
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((br + 2, grid.nx + 1), jnp.float32),
+        pltpu.VMEM((br + 2, grid.nx + 2), jnp.float32),
+        pltpu.VMEM((br + 2, grid.nx + 1), jnp.float32),
+        pltpu.VMEM((br + 2, grid.nx), jnp.float32),
+        pltpu.SemaphoreType.DMA((4,)),
+    )
+
+
+def momentum_apply_pallas(
+    vx, vy, eta_s, eta_n, grid: StaggeredGrid, bcs: VelocityBCs, kbnd,
+    block_rows: int = 128, interpret: bool = False,
+):
+    """Fused (rx, ry) momentum application; f32; ny must be divisible by
+    block_rows (callers fall back to the jnp path otherwise)."""
+    ny, nx = grid.ny, grid.nx
+    br = min(block_rows, ny)
+    assert ny % br == 0, (ny, br)
+
+    f32 = jnp.float32
+    vx = vx.astype(f32)
+    vy = vy.astype(f32)
+
+    vxg = jnp.concatenate([bcs.s_top * vx[:1], vx, bcs.s_bottom * vx[-1:]], axis=0)
+    vyg = jnp.concatenate([bcs.s_left * vy[:, :1], vy, bcs.s_right * vy[:, -1:]], axis=1)
+    zrow = jnp.zeros((1, nx + 2), f32)
+    vyg2 = jnp.concatenate([zrow, vyg, zrow], axis=0)
+    esp = jnp.concatenate([eta_s.astype(f32), jnp.zeros((1, nx + 1), f32)], axis=0)
+    zen = jnp.zeros((1, nx), f32)
+    enp = jnp.concatenate([zen, eta_n.astype(f32), zen], axis=0)
+
+    kbnd_s = jnp.asarray([kbnd], f32)
+
+    kernel = functools.partial(_kernel, br=br, grid=grid, kbnd_s=None)
+
+    # kbnd enters as a scalar-prefetch argument
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ny // br,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((br, nx + 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, nx), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+
+    def kernel_fn(kbnd_ref, vxg_h, vyg2_h, esp_h, enp_h, rx_ref, ry_ref):
+        _kernel(vxg_h, vyg2_h, esp_h, enp_h, rx_ref, ry_ref,
+                br=br, grid=grid, kbnd_s=kbnd_ref)
+
+    rx, ry_main = pl.pallas_call(
+        kernel_fn,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ny, nx + 1), f32),
+            jax.ShapeDtypeStruct((ny, nx), f32),
+        ],
+        interpret=interpret,
+    )(kbnd_s, vxg, vyg2, esp, enp)
+    # bottom-wall Dirichlet row (vy row ny)
+    ry = jnp.concatenate([ry_main, kbnd_s[0] * vy[-1:, :]], axis=0)
+    return rx, ry

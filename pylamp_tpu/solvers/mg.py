@@ -151,6 +151,33 @@ def _momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd):
     return rx, ry
 
 
+def _pallas_eligible(grid: StaggeredGrid, dtype) -> bool:
+    """The fused Pallas kernel covers the f32 TPU hot path on levels large
+    enough to amortize the per-block DMA (row count a multiple of 128)."""
+    try:
+        import jax
+
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return False
+    return (
+        dtype == jnp.float32
+        and grid.ny % 128 == 0
+        and grid.nx >= 256
+        and platform not in ("cpu", "gpu")
+    )
+
+
+def momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd, use_pallas=False):
+    """Momentum-block application; dispatches to the fused Pallas kernel on
+    eligible TPU levels (ops/pallas/stokes_kernel.py)."""
+    if use_pallas and _pallas_eligible(grid, vx.dtype):
+        from pylamp_tpu.ops.pallas.stokes_kernel import momentum_apply_pallas
+
+        return momentum_apply_pallas(vx, vy, eta_s, eta_n, grid, bcs, kbnd)
+    return _momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd)
+
+
 def _pressure_gradient(zp, grid, dtype):
     """G z_p: the +grad p part of the momentum rows (zero on Dirichlet
     rows)."""
@@ -207,6 +234,7 @@ def make_velocity_mg(
     omega: float = 0.6,
     coarse_iters: int = 32,
     smoother: str = "chebyshev",
+    use_pallas: bool = True,
 ):
     """Returns mg(rx, ry) -> (zx, zy): `cycles` handled by the caller.
 
@@ -236,7 +264,8 @@ def make_velocity_mg(
             dvx, dvy = diags[l]
 
             def binv_a(vx, vy, l=l, es=es, en=en, dvx=dvx, dvy=dvy):
-                ax, ay = _momentum_apply(vx, vy, es, en, grids[l], bcs, kbnds[l])
+                ax, ay = momentum_apply(vx, vy, es, en, grids[l], bcs, kbnds[l],
+                                        use_pallas=use_pallas)
                 return ax / dvx, ay / dvy
 
             lam = _power_lambda_max(
@@ -252,7 +281,8 @@ def make_velocity_mg(
 
         if smoother == "jacobi":
             for _ in range(iters):
-                ax, ay = _momentum_apply(ex, ey, es, en, g, bcs, kb)
+                ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
+                                        use_pallas=use_pallas)
                 ex = ex + omega * (rx - ax) / dvx
                 ey = ey + omega * (ry - ay) / dvy
             return ex, ey
@@ -265,7 +295,7 @@ def make_velocity_mg(
         delta = 0.5 * (lmax - lmin)
         sigma1 = theta / delta
 
-        ax, ay = _momentum_apply(ex, ey, es, en, g, bcs, kb)
+        ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb, use_pallas=use_pallas)
         dx_ = (rx - ax) / dvx / theta
         dy_ = (ry - ay) / dvy / theta
         ex = ex + dx_
@@ -273,7 +303,8 @@ def make_velocity_mg(
         rho_old = 1.0 / sigma1
         for _ in range(iters - 1):
             rho = 1.0 / (2.0 * sigma1 - rho_old)
-            ax, ay = _momentum_apply(ex, ey, es, en, g, bcs, kb)
+            ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
+                                    use_pallas=use_pallas)
             dx_ = rho * rho_old * dx_ + (2.0 * rho / delta) * (rx - ax) / dvx
             dy_ = rho * rho_old * dy_ + (2.0 * rho / delta) * (ry - ay) / dvy
             ex = ex + dx_
@@ -289,7 +320,8 @@ def make_velocity_mg(
         ex = jnp.zeros_like(rx)
         ey = jnp.zeros_like(ry)
         ex, ey = smooth(l, ex, ey, rx, ry, pre_smooth)
-        ax, ay = _momentum_apply(ex, ey, *etas[l], grids[l], bcs, kbnds[l])
+        ax, ay = momentum_apply(ex, ey, *etas[l], grids[l], bcs, kbnds[l],
+                                use_pallas=use_pallas)
         rcx = restrict_vx(rx - ax, bcs)
         rcy = restrict_vy(ry - ay, bcs)
         ecx, ecy = vcycle(l + 1, rcx, rcy)
@@ -317,6 +349,7 @@ def make_mg_preconditioner(
     post_smooth: int = 2,
     omega: float = 0.6,
     smoother: str = "chebyshev",
+    use_pallas: bool = True,
 ):
     """Block upper-triangular preconditioner for the full Stokes system."""
     if bcs is None:
@@ -324,7 +357,7 @@ def make_mg_preconditioner(
     mg = make_velocity_mg(
         eta_s, eta_n, grid, bcs, kbnd,
         levels=levels, pre_smooth=pre_smooth, post_smooth=post_smooth, omega=omega,
-        smoother=smoother,
+        smoother=smoother, use_pallas=use_pallas,
     )
     dtype = eta_n.dtype
 
@@ -338,7 +371,8 @@ def make_mg_preconditioner(
         zx = jnp.zeros_like(rx)
         zy = jnp.zeros_like(ry)
         for _ in range(cycles):
-            ax, ay = _momentum_apply(zx, zy, eta_s, eta_n, grid, bcs, kbnd)
+            ax, ay = momentum_apply(zx, zy, eta_s, eta_n, grid, bcs, kbnd,
+                                    use_pallas=use_pallas)
             dx_, dy_ = mg(rvx - ax, rvy - ay)
             zx = zx + dx_
             zy = zy + dy_

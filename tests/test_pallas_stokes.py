@@ -1,0 +1,36 @@
+"""Pallas fused momentum kernel vs the jnp reference operator (interpret
+mode on CPU; the compiled kernel runs in the TPU smoother hot path)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pylamp_tpu.core.grid import StaggeredGrid
+from pylamp_tpu.core.bc import VelocityBCs
+from pylamp_tpu.ops.pallas.stokes_kernel import momentum_apply_pallas
+from pylamp_tpu.solvers.mg import _momentum_apply
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.mark.parametrize("slip", ["free_slip", "no_slip"])
+@pytest.mark.parametrize("nx,ny,br", [(16, 16, 8), (24, 32, 16)])
+def test_momentum_kernel_matches_jnp(slip, nx, ny, br):
+    grid = StaggeredGrid(nx=nx, ny=ny, lx=1.3, ly=0.9)
+    bcs = VelocityBCs(top=slip, bottom="free_slip", left="no_slip", right=slip)
+    vx = jnp.asarray(RNG.normal(size=grid.shape_vx).astype(np.float32))
+    vy = jnp.asarray(RNG.normal(size=grid.shape_vy).astype(np.float32))
+    eta_s = jnp.asarray(np.exp(RNG.normal(size=grid.shape_corner)).astype(np.float32))
+    eta_n = jnp.asarray(np.exp(RNG.normal(size=grid.shape_center)).astype(np.float32))
+    kbnd = 7.5
+
+    want_rx, want_ry = _momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd)
+    got_rx, got_ry = momentum_apply_pallas(
+        vx, vy, eta_s, eta_n, grid, bcs, kbnd, block_rows=br, interpret=True
+    )
+    # f32 with different accumulation order: compare at f32-roundoff scale
+    sx = float(np.abs(np.asarray(want_rx)).max())
+    sy = float(np.abs(np.asarray(want_ry)).max())
+    np.testing.assert_allclose(np.asarray(got_rx), np.asarray(want_rx),
+                               atol=1e-5 * sx)
+    np.testing.assert_allclose(np.asarray(got_ry), np.asarray(want_ry),
+                               atol=1e-5 * sy)
