@@ -48,7 +48,11 @@ class SolverConfig:
     # viscosity contrast: a marginal cycle amplifies when iterated)
     mg_pre_smooth: int = 3  # Chebyshev degree
     mg_post_smooth: int = 3
-    use_pallas: bool = True  # fused TPU stencil kernels on eligible levels
+    # Fused Pallas stencil kernel in the MG smoother.  Measured on v5e at
+    # 1024^2: 0.651 s/step vs 0.627 s/step for the XLA-fused jnp path — XLA
+    # already fuses this stencil well, so the kernel is off by default and
+    # kept as the native-kernel path for further tuning (double buffering).
+    use_pallas: bool = False
     energy_tol: float = 1e-10
     energy_maxiter: int = 2000
 

@@ -42,17 +42,24 @@ def _kernel(vxg_hbm, vyg2_hbm, esp_hbm, enp_hbm, rx_ref, ry_ref, *, br, grid, kb
     dy = grid.dy
     r0 = pl.program_id(0) * br
 
-    def body(vxg, vyg2, esp, enp, sems):
+    def body(vxg_b, vyg2_b, esp_b, enp_b, sem0, sem1, sem2, sem3):
+        # Manual HBM->VMEM DMAs must be tile-aligned: (8-row, 128-lane)
+        # slices for f32.  The host pre-pads every array to (ny+8, W128);
+        # the kernel reads only the leading (br+2, true-width) window.
         copies = (
-            pltpu.make_async_copy(vxg_hbm.at[pl.ds(r0, br + 2)], vxg, sems.at[0]),
-            pltpu.make_async_copy(vyg2_hbm.at[pl.ds(r0, br + 2)], vyg2, sems.at[1]),
-            pltpu.make_async_copy(esp_hbm.at[pl.ds(r0, br + 2)], esp, sems.at[2]),
-            pltpu.make_async_copy(enp_hbm.at[pl.ds(r0, br + 2)], enp, sems.at[3]),
+            pltpu.make_async_copy(vxg_hbm.at[pl.ds(r0, br + 8)], vxg_b, sem0),
+            pltpu.make_async_copy(vyg2_hbm.at[pl.ds(r0, br + 8)], vyg2_b, sem1),
+            pltpu.make_async_copy(esp_hbm.at[pl.ds(r0, br + 8)], esp_b, sem2),
+            pltpu.make_async_copy(enp_hbm.at[pl.ds(r0, br + 8)], enp_b, sem3),
         )
         for c in copies:
             c.start()
         for c in copies:
             c.wait()
+        vxg = vxg_b[:, : nx + 1]
+        vyg2 = vyg2_b[:, : nx + 2]
+        esp = esp_b[:, : nx + 1]
+        enp = enp_b[:, :nx]
 
         # Local row indexing (block-relative):
         #   vxg[k]  = global vx ghost row r0 + k          (vx row j -> k = j - r0 + 1)
@@ -104,13 +111,17 @@ def _kernel(vxg_hbm, vyg2_hbm, esp_hbm, enp_hbm, rx_ref, ry_ref, *, br, grid, kb
         vy_c = vy_all[1 : br + 1, :]  # vy rows r0 .. r0+br-1
         ry_ref[:, :] = jnp.where(grow == 0, kb * vy_c, ry_all)
 
+    w128 = -(-(grid.nx + 2) // 128) * 128
     pl.run_scoped(
         body,
-        pltpu.VMEM((br + 2, grid.nx + 1), jnp.float32),
-        pltpu.VMEM((br + 2, grid.nx + 2), jnp.float32),
-        pltpu.VMEM((br + 2, grid.nx + 1), jnp.float32),
-        pltpu.VMEM((br + 2, grid.nx), jnp.float32),
-        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.VMEM((br + 8, w128), jnp.float32),
+        pltpu.VMEM((br + 8, w128), jnp.float32),
+        pltpu.VMEM((br + 8, w128), jnp.float32),
+        pltpu.VMEM((br + 8, w128), jnp.float32),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
     )
 
 
@@ -128,13 +139,22 @@ def momentum_apply_pallas(
     vx = vx.astype(f32)
     vy = vy.astype(f32)
 
+    w128 = -(-(nx + 2) // 128) * 128
+
+    def _pad_rows_to(a, rows):
+        a = jnp.pad(a, ((0, rows - a.shape[0]), (0, w128 - a.shape[1])))
+        return a
+
+    # every source array is padded to ny+8 rows so each block's 8-aligned
+    # (br+8)-row DMA stays in bounds
     vxg = jnp.concatenate([bcs.s_top * vx[:1], vx, bcs.s_bottom * vx[-1:]], axis=0)
+    vxg = _pad_rows_to(vxg, ny + 8)
     vyg = jnp.concatenate([bcs.s_left * vy[:, :1], vy, bcs.s_right * vy[:, -1:]], axis=1)
     zrow = jnp.zeros((1, nx + 2), f32)
-    vyg2 = jnp.concatenate([zrow, vyg, zrow], axis=0)
-    esp = jnp.concatenate([eta_s.astype(f32), jnp.zeros((1, nx + 1), f32)], axis=0)
+    vyg2 = _pad_rows_to(jnp.concatenate([zrow, vyg, zrow], axis=0), ny + 8)
+    esp = _pad_rows_to(eta_s.astype(f32), ny + 8)
     zen = jnp.zeros((1, nx), f32)
-    enp = jnp.concatenate([zen, eta_n.astype(f32), zen], axis=0)
+    enp = _pad_rows_to(jnp.concatenate([zen, eta_n.astype(f32)], axis=0), ny + 8)
 
     kbnd_s = jnp.asarray([kbnd], f32)
 
@@ -151,8 +171,10 @@ def momentum_apply_pallas(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((br, nx + 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((br, nx), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            # NB: `i * 0` keeps the column index i32 (a literal 0 traces as
+            # i64 under jax_enable_x64 and fails Mosaic legalization)
+            pl.BlockSpec((br, nx + 1), lambda i, *_: (i, i * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, nx), lambda i, *_: (i, i * 0), memory_space=pltpu.VMEM),
         ],
     )
 
