@@ -119,12 +119,13 @@ def blankenbach_case1a(nx=64, ny=64, Ra=1e4, max_steps=2000, max_time=0.25):
 
 # -- config 3: Frank-Kamenetskii stagnant lid ---------------------------------
 
-def fk_stagnant_lid(nx=64, ny=64, Ra_top=10.0, visc_contrast=1e4,
+def fk_stagnant_lid(nx=64, ny=64, Ra_top=100.0, visc_contrast=1e4,
                     max_steps=3000, max_time=1.0):
     """T-dependent viscosity convection, eta = exp(-gamma T) with
-    gamma = ln(visc_contrast) (BASELINE config 3).  With Ra(top) = 10 and
-    contrast 1e4 the system sits in the stagnant-lid regime (Solomatov 1995:
-    transition at gamma_c ~ 8 for these Ra)."""
+    gamma = ln(visc_contrast) (BASELINE config 3).  With Ra(top) = 100 and
+    contrast 1e4 (Ra_bottom = 1e6) the flow convects under a stagnant lid
+    (Solomatov 1995: gamma = 9.2 > gamma_crit ~ 8).  Ra_top = 10 was
+    measured sub-critical here: the perturbation decays to conduction."""
     gamma = float(np.log(visc_contrast))
     mat = Material(
         name="fk_fluid", rho0=Ra_top, alpha=1.0, T_ref=0.0,
