@@ -36,6 +36,14 @@ class VelocityBCs:
     vn_bottom: float = 0.0
     vn_left: float = 0.0
     vn_right: float = 0.0
+    # Prescribed tangential wall velocities (moving no-slip walls, e.g.
+    # lid-driven / plate-velocity experiments).  Only meaningful on no-slip
+    # walls; the affine ghost contribution enters the RHS (stokes_rhs), the
+    # operator keeps homogeneous ghosts and stays linear.
+    vt_top: float = 0.0
+    vt_bottom: float = 0.0
+    vt_left: float = 0.0
+    vt_right: float = 0.0
 
     def _sign(self, wall: str) -> float:
         kind = getattr(self, wall)

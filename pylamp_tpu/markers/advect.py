@@ -20,8 +20,12 @@ def _padded_velocity(vx, vy, bcs: VelocityBCs):
 
     vx: (ny+2, nx+1) with origin (-dy/2, 0); vy: (ny+1, nx+2) with origin
     (0, -dx/2)."""
-    vx_p = jnp.concatenate([bcs.s_top * vx[:1], vx, bcs.s_bottom * vx[-1:]], axis=0)
-    vy_p = jnp.concatenate([bcs.s_left * vy[:, :1], vy, bcs.s_right * vy[:, -1:]], axis=1)
+    top = bcs.s_top * vx[:1] + (1.0 - bcs.s_top) * bcs.vt_top
+    bot = bcs.s_bottom * vx[-1:] + (1.0 - bcs.s_bottom) * bcs.vt_bottom
+    vx_p = jnp.concatenate([top, vx, bot], axis=0)
+    left = bcs.s_left * vy[:, :1] + (1.0 - bcs.s_left) * bcs.vt_left
+    right = bcs.s_right * vy[:, -1:] + (1.0 - bcs.s_right) * bcs.vt_right
+    vy_p = jnp.concatenate([left, vy, right], axis=1)
     return vx_p, vy_p
 
 

@@ -293,8 +293,12 @@ def bucket_advect_rk4(
     bm: BucketedMarkers, vx, vy, dt, grid: StaggeredGrid, bcs: VelocityBCs
 ):
     """RK4 advection in bucket layout (positions only; call rebucket after)."""
-    vx_p = jnp.concatenate([bcs.s_top * vx[:1], vx, bcs.s_bottom * vx[-1:]], axis=0)
-    vy_p = jnp.concatenate([bcs.s_left * vy[:, :1], vy, bcs.s_right * vy[:, -1:]], axis=1)
+    top = bcs.s_top * vx[:1] + (1.0 - bcs.s_top) * bcs.vt_top
+    bot = bcs.s_bottom * vx[-1:] + (1.0 - bcs.s_bottom) * bcs.vt_bottom
+    vx_p = jnp.concatenate([top, vx, bot], axis=0)
+    left = bcs.s_left * vy[:, :1] + (1.0 - bcs.s_left) * bcs.vt_left
+    right = bcs.s_right * vy[:, -1:] + (1.0 - bcs.s_right) * bcs.vt_right
+    vy_p = jnp.concatenate([left, vy, right], axis=1)
 
     def vel(px, py, reach):
         return _bucket_velocity_at(px, py, bm.valid, vx_p, vy_p, grid, reach)

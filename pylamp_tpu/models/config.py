@@ -26,6 +26,8 @@ class PhysicsConfig:
     eta_avg: str = "geometric"
     k_face_avg: str = "arithmetic"
     solve_energy: bool = True
+    shear_heating: bool = False  # H_s = sigma':e' = 4 eta e_II^2
+    adiabatic_heating: bool = False  # H_a = rho0 alpha T g vy (y down)
     subgrid_diffusion_d: float = 0.0  # 0 = plain dT remapping; ~1 = Gerya
     reseed_min_per_cell: int = 0  # 0 = reseeding off
     reseed_max_moves: int = 256

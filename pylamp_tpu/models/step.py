@@ -197,6 +197,20 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
             H_g = _interp_with_fallback(
                 m, H_m, grid, "corner", "arithmetic", jnp.asarray(0.0, dtype)
             )
+            if phys.shear_heating:
+                from pylamp_tpu.physics.heating import shear_heating
+
+                H_g = H_g + shear_heating(vx, vy, eta_n, grid, vbc)
+            if phys.adiabatic_heating:
+                from pylamp_tpu.physics.heating import adiabatic_heating
+
+                ra_m = jnp.asarray(table.rho0, dtype)[m.mat] * jnp.asarray(
+                    table.alpha, dtype
+                )[m.mat]
+                ra_g = _interp_with_fallback(
+                    m, ra_m, grid, "corner", "arithmetic", _marker_mean(m, ra_m)
+                )
+                H_g = H_g + adiabatic_heating(T_old, ra_g, vy, phys.gy, grid)
             if mixed:
                 esol = solve_energy_mixed(
                     T_old,

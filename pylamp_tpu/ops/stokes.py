@@ -112,15 +112,41 @@ def stokes_rhs(
     bcs: VelocityBCs,
     kbnd: float = 1.0,
     dtype=jnp.float32,
+    eta_s=None,
 ):
     """Right-hand side (bx, by, bc) matching ``stokes_operator``.
 
     ``rho_vx``/``rho_vy`` are densities interpolated to the vx / vy node
     grids (the reference interpolates marker density straight to velocity
-    nodes for the buoyancy term; SURVEY.md §3.4).
+    nodes for the buoyancy term; SURVEY.md §3.4).  ``eta_s`` is required
+    when a moving-wall tangential velocity is prescribed.
     """
+    moving = (
+        (bcs.top == "no_slip" and bcs.vt_top != 0.0)
+        or (bcs.bottom == "no_slip" and bcs.vt_bottom != 0.0)
+        or (bcs.left == "no_slip" and bcs.vt_left != 0.0)
+        or (bcs.right == "no_slip" and bcs.vt_right != 0.0)
+    )
+    if moving and eta_s is None:
+        raise ValueError("stokes_rhs needs eta_s for moving-wall BCs")
     bx = (rho_vx * gx).astype(dtype)
     by = (rho_vy * gy).astype(dtype)
+
+    # Moving no-slip walls: the ghost is s*v + (1-s)*vt; the operator keeps
+    # the homogeneous part (s*v), the affine part 2*vt (no slip: s = -1)
+    # folds into the boundary-adjacent momentum rows as
+    # +2*eta_s*vt/h^2 on the RHS (same elimination as the oracle's).
+    dy2 = grid.dy**2
+    dx2 = grid.dx**2
+    if bcs.top == "no_slip" and bcs.vt_top != 0.0:
+        bx = bx.at[0, 1:-1].add(2.0 * eta_s[0, 1:-1] * bcs.vt_top / dy2)
+    if bcs.bottom == "no_slip" and bcs.vt_bottom != 0.0:
+        bx = bx.at[-1, 1:-1].add(2.0 * eta_s[-1, 1:-1] * bcs.vt_bottom / dy2)
+    if bcs.left == "no_slip" and bcs.vt_left != 0.0:
+        by = by.at[1:-1, 0].add(2.0 * eta_s[1:-1, 0] * bcs.vt_left / dx2)
+    if bcs.right == "no_slip" and bcs.vt_right != 0.0:
+        by = by.at[1:-1, -1].add(2.0 * eta_s[1:-1, -1] * bcs.vt_right / dx2)
+
     # Dirichlet rows: prescribed normal velocities.
     bx = bx.at[:, 0].set(kbnd * bcs.vn_left)
     bx = bx.at[:, -1].set(kbnd * bcs.vn_right)

@@ -99,7 +99,8 @@ def solve_stokes(
         vx, vy, p = u
         return stokes_operator(vx, vy, p, eta_s, eta_n, grid, bcs, kcont=kcont, kbnd=kbnd)
 
-    b = stokes_rhs(rho_vx, rho_vy, gx, gy, grid, bcs, kbnd=kbnd, dtype=dtype)
+    b = stokes_rhs(rho_vx, rho_vy, gx, gy, grid, bcs, kbnd=kbnd, dtype=dtype,
+                   eta_s=eta_s)
 
     if preconditioner is not None:
         M = preconditioner
@@ -162,7 +163,7 @@ def solve_stokes_mixed(
 
     b64 = stokes_rhs(
         rho_vx.astype(f64), rho_vy.astype(f64), gx, gy, grid, bcs, kbnd=kbnd,
-        dtype=f64,
+        dtype=f64, eta_s=eta_s64,
     )
 
     eta_s32, eta_n32 = eta_s64.astype(f32), eta_n64.astype(f32)
