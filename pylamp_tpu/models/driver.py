@@ -25,15 +25,24 @@ def run_model(
     resume_from: str | None = None,
     echo: bool = False,
     callback: Callable | None = None,
+    on_divergence: str = "retry",
 ):
     """Run the model for cfg.time.max_steps (or until max_time).
 
+    ``on_divergence``: "retry" re-runs a non-converged step once with a
+    stronger solver (4x maxiter, 2x restart — SURVEY.md §5 'Failure
+    detection / divergence fallback'); "warn" just records it.
+
     Returns (final_state, diagnostics list, grid)."""
+    import dataclasses
+
     grid, table, state = build(cfg)
     if resume_from:
         state, _ = load_checkpoint(resume_from, template=state)
 
     step = jax.jit(make_step(grid, cfg, table))
+    strong_step = None  # compiled lazily on first divergence
+
     logger = MetricsLogger(
         os.path.join(out_dir, "metrics.jsonl") if out_dir else None, echo=echo
     )
@@ -47,9 +56,22 @@ def run_model(
         step_wall = time.perf_counter() - t0
 
         if not bool(diag["stokes_converged"]):
-            # Divergence fallback (SURVEY.md §5 'Failure detection'):
-            # surface it — callers may retry with stronger settings.
-            diag["warning"] = "stokes solver did not reach tolerance"
+            if on_divergence == "retry":
+                if strong_step is None:
+                    strong_cfg = dataclasses.replace(
+                        cfg,
+                        solver=dataclasses.replace(
+                            cfg.solver,
+                            stokes_maxiter=4 * cfg.solver.stokes_maxiter,
+                            stokes_restart=2 * cfg.solver.stokes_restart,
+                        ),
+                    )
+                    strong_step = jax.jit(make_step(grid, strong_cfg, table))
+                new_state, diag = strong_step(state)
+                jax.block_until_ready(new_state.vx)
+                diag["retried"] = True
+            if not bool(diag["stokes_converged"]):
+                diag["warning"] = "stokes solver did not reach tolerance"
         state = new_state
 
         rec = {"step": int(state.step), "time": float(state.time), "step_wall_s": step_wall}
