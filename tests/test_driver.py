@@ -11,10 +11,11 @@ from pylamp_tpu.models.driver import run_model
 
 def test_divergence_retry_and_metrics(tmp_path):
     cfg = falling_block(nx=12, ny=12, max_steps=2)
-    # deliberately starve the solver so every step diverges first
+    # deliberately starve the solver so every step fails first; the 4x
+    # retry budget is enough for the MG-preconditioned solve
     cfg = dataclasses.replace(
-        cfg, solver=SolverConfig(preconditioner="jacobi", stokes_maxiter=30,
-                                 stokes_restart=20)
+        cfg, solver=SolverConfig(preconditioner="mg", stokes_maxiter=5,
+                                 stokes_restart=5)
     )
     out = str(tmp_path)
     state, diags, grid = run_model(cfg, out_dir=out)
