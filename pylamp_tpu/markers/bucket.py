@@ -290,9 +290,15 @@ def _sample_padded(f, fx, fy, valid, grid: StaggeredGrid, reach):
 
 
 def bucket_advect_rk4(
-    bm: BucketedMarkers, vx, vy, dt, grid: StaggeredGrid, bcs: VelocityBCs
+    bm: BucketedMarkers, vx, vy, dt, grid: StaggeredGrid, bcs: VelocityBCs,
+    stage_reach: int = 2,
 ):
-    """RK4 advection in bucket layout (positions only; call rebucket after)."""
+    """RK4 advection in bucket layout (positions only; call rebucket after).
+
+    ``stage_reach``: shift reach for the displaced RK stage positions.
+    2 covers displacements up to one full cell; callers whose dt guarantees
+    <= half a cell (Courant <= 0.5, no moving walls) may pass 1, roughly
+    halving the advection cost (16 vs 36 shifted slabs per stage)."""
     top = bcs.s_top * vx[:1] + (1.0 - bcs.s_top) * bcs.vt_top
     bot = bcs.s_bottom * vx[-1:] + (1.0 - bcs.s_bottom) * bcs.vt_bottom
     vx_p = jnp.concatenate([top, vx, bot], axis=0)
@@ -305,9 +311,9 @@ def bucket_advect_rk4(
 
     x, y = bm.x, bm.y
     k1x, k1y = vel(x, y, 1)
-    k2x, k2y = vel(x + 0.5 * dt * k1x, y + 0.5 * dt * k1y, 2)
-    k3x, k3y = vel(x + 0.5 * dt * k2x, y + 0.5 * dt * k2y, 2)
-    k4x, k4y = vel(x + dt * k3x, y + dt * k3y, 2)
+    k2x, k2y = vel(x + 0.5 * dt * k1x, y + 0.5 * dt * k1y, stage_reach)
+    k3x, k3y = vel(x + 0.5 * dt * k2x, y + 0.5 * dt * k2y, stage_reach)
+    k4x, k4y = vel(x + dt * k3x, y + dt * k3y, stage_reach)
 
     nx_new = x + dt / 6.0 * (k1x + 2 * k2x + 2 * k3x + k4x)
     ny_new = y + dt / 6.0 * (k1y + 2 * k2y + 2 * k3y + k4y)

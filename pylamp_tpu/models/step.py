@@ -264,7 +264,17 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
 
         # ---- advect markers (+ re-bucket in the dense engine) -----------------
         if isinstance(markers, BucketedMarkers):
-            markers = bucket_advect_rk4(markers, vx, vy, dt, grid, vbc)
+            # Courant <= 0.5 (and static walls) bounds every RK stage
+            # displacement to half a cell -> the cheaper shift reach applies.
+            moving_walls = any(
+                getattr(vbc, f) != 0.0
+                for f in ("vt_top", "vt_bottom", "vt_left", "vt_right")
+            )
+            # (dt_min could push dt past the Courant bound -> stay at 2)
+            reach = 1 if (tc.courant <= 0.5 and tc.dt_min == 0.0
+                          and not moving_walls) else 2
+            markers = bucket_advect_rk4(markers, vx, vy, dt, grid, vbc,
+                                        stage_reach=reach)
             markers, dropped = rebucket(markers, grid)
             diag["markers_dropped"] = dropped
             diag["marker_count"] = markers.total()

@@ -368,9 +368,9 @@ def make_mg_preconditioner(
         gx, gy = _pressure_gradient(zp, grid, dtype)
         rvx = rx - gx
         rvy = ry - gy
-        zx = jnp.zeros_like(rx)
-        zy = jnp.zeros_like(ry)
-        for _ in range(cycles):
+        # first cycle starts from zero: its residual IS (rvx, rvy)
+        zx, zy = mg(rvx, rvy)
+        for _ in range(cycles - 1):
             ax, ay = momentum_apply(zx, zy, eta_s, eta_n, grid, bcs, kbnd,
                                     use_pallas=use_pallas)
             dx_, dy_ = mg(rvx - ax, rvy - ay)
