@@ -180,8 +180,11 @@ def solve_stokes_mixed(
 
     def inner_solve(r32):
         z0 = jax.tree.map(jnp.zeros_like, r32)
+        # single-pass CGS: the loose inner tolerance tolerates mild
+        # orthogonality loss, and the basis reads are a real HBM cost
         return fgmres(
-            op32, r32, z0, M=M32, tol=inner_tol, restart=restart, maxiter=maxiter
+            op32, r32, z0, M=M32, tol=inner_tol, restart=restart,
+            maxiter=maxiter, cgs_passes=1,
         )
 
     if x0 is None:
