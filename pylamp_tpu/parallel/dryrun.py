@@ -12,15 +12,18 @@ import numpy as np
 def dryrun_multichip(n_devices: int) -> None:
     import jax.numpy as jnp
 
-    if len(jax.devices()) < n_devices:
-        # Best effort if the launcher didn't pre-provision virtual devices.
-        try:
-            jax.config.update("jax_num_cpu_devices", n_devices)
-        except Exception:
-            pass
+    # jax 0.9 ignores --xla_force_host_platform_device_count; virtual CPU
+    # devices come from jax_num_cpu_devices, which must be set BEFORE the
+    # backend initializes (so before any jax.devices() call).
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n_devices)
+    except Exception:
+        pass  # backend already initialized — fall through to the check
     devs = jax.devices()
     assert len(devs) >= n_devices, (
-        f"need {n_devices} devices, have {len(devs)}"
+        f"need {n_devices} devices, have {len(devs)} — set jax_num_cpu_devices "
+        f"before first backend use"
     )
 
     from pylamp_tpu.models.benchmarks import blankenbach_case1a
