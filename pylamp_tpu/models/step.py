@@ -69,6 +69,11 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
     vbc = phys.velocity_bcs
     tbc = phys.thermal_bcs
 
+    if tc.courant > 1.0:
+        # the bucket engine's 3x3 rebucketing and the RK4 shift reaches
+        # assume markers move at most one cell per step
+        raise ValueError("TimeConfig.courant must be <= 1")
+
     if solver.preconditioner == "mg":
         from pylamp_tpu.solvers.mg import make_mg_preconditioner
 
