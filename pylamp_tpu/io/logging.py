@@ -10,6 +10,10 @@ import time
 
 class MetricsLogger:
     def __init__(self, path: str | None = None, echo: bool = False):
+        if path:
+            import os
+
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self._fh = open(path, "a") if path else None
         self._echo = echo
         self._t0 = time.perf_counter()
