@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--nx", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--tol", type=float, default=1e-8)
+    ap.add_argument("--phase-steps", type=int, default=2,
+                    help="extra per-phase-instrumented steps for the phase "
+                         "breakdown (0 = skip)")
     args = ap.parse_args()
 
     from pylamp_tpu.models.benchmarks import fk_stagnant_lid
@@ -78,6 +81,21 @@ def main():
     times.sort()
     median = times[len(times) // 2]
 
+    # per-phase breakdown (interp / stokes / energy / advect), separately
+    # jitted + synced — informs where the step time goes (SURVEY.md §5)
+    phases = {}
+    if args.phase_steps > 0:
+        from pylamp_tpu.models.step import make_phased_runner
+
+        runner = make_phased_runner(grid, cfg, table)
+        state_p, d = runner(state)  # compile
+        acc = {}
+        for _ in range(args.phase_steps):
+            state_p, d = runner(state_p)
+            for k, v in d["phase_seconds"].items():
+                acc[k] = acc.get(k, 0.0) + v
+        phases = {k: round(v / args.phase_steps, 4) for k, v in acc.items()}
+
     steps_per_sec = 1.0 / median
     result = {
         "metric": f"{args.nx}^2 variable-viscosity Stokes+energy+marker timesteps/sec (1e-8 rel residual, mixed f32/f64)",
@@ -89,9 +107,10 @@ def main():
             "seconds_per_step_min": round(times[0], 3),
             "seconds_per_step_max": round(times[-1], 3),
             "krylov_iters_per_step": round(iters / args.steps, 1),
-            "stokes_residual": float(diag["stokes_residual"]),
+            "stokes_residual_rel": float(diag["stokes_residual_rel"]),
             "stokes_converged": bool(diag["stokes_converged"]),
             "device": str(jax.devices()[0]),
+            "phase_seconds": phases,
         },
     }
     print(json.dumps(result))

@@ -33,6 +33,11 @@ def main(argv=None):
     runp.add_argument("--out", type=str, default=None)
     runp.add_argument("--checkpoint-every", type=int, default=0)
     runp.add_argument("--output-every", type=int, default=0)
+    runp.add_argument("--plot-every", type=int, default=0,
+                      help="write a quick-look figure every N steps")
+    runp.add_argument("--profile-phases", action="store_true",
+                      help="per-phase wall-clock (interp/stokes/energy/advect) "
+                           "into metrics.jsonl")
     runp.add_argument("--resume", type=str, default=None)
     runp.add_argument("--f32", action="store_true",
                       help="f32 state (mixed-precision solves if x64 is on)")
@@ -42,6 +47,10 @@ def main(argv=None):
     benchp.add_argument("--nx", type=int, default=1024)
     benchp.add_argument("--steps", type=int, default=5)
 
+    plotp = sub.add_parser("plot", help="post-process an output directory "
+                                        "(time series + final fields figure)")
+    plotp.add_argument("out_dir", help="directory written by `run --out`")
+
     sub.add_parser("list", help="list available benchmark models")
 
     args = ap.parse_args(argv)
@@ -49,6 +58,32 @@ def main(argv=None):
     if args.cmd == "list":
         for name in sorted(BENCHMARKS):
             print(name)
+        return 0
+
+    if args.cmd == "plot":
+        import glob
+        import os
+
+        from pylamp_tpu.io.output import plot_timeseries
+
+        metrics = os.path.join(args.out_dir, "metrics.jsonl")
+        made = []
+        if os.path.exists(metrics):
+            if plot_timeseries(os.path.join(args.out_dir, "timeseries.png"), metrics):
+                made.append("timeseries.png")
+        fields = sorted(glob.glob(os.path.join(args.out_dir, "fields_*.npz")))
+        if fields:
+            from pylamp_tpu.io.output import plot_npz_fields
+
+            if plot_npz_fields(
+                os.path.join(args.out_dir, "fields_final.png"), fields[-1]
+            ):
+                made.append("fields_final.png")
+        if not made:
+            print(f"nothing to plot in {args.out_dir} (need metrics.jsonl or "
+                  f"fields_*.npz; is matplotlib available?)")
+            return 1
+        print("wrote " + ", ".join(os.path.join(args.out_dir, m) for m in made))
         return 0
 
     if args.cmd == "bench":
@@ -86,8 +121,10 @@ def main(argv=None):
         out_dir=args.out,
         checkpoint_every=args.checkpoint_every,
         output_every=args.output_every,
+        plot_every=args.plot_every,
         resume_from=args.resume,
         echo=True,
+        profile_phases=args.profile_phases,
     )
     print(f"done: {int(state.step)} steps, t={float(state.time):.6g}")
     return 0

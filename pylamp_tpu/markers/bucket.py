@@ -406,17 +406,22 @@ def rebucket(bm: BucketedMarkers, grid: StaggeredGrid):
 
 # -- reseeding ---------------------------------------------------------------------
 
-def bucket_reseed(bm: BucketedMarkers, T_grid, grid: StaggeredGrid, min_per_cell: int):
+def bucket_reseed(
+    bm: BucketedMarkers,
+    T_grid,
+    grid: StaggeredGrid,
+    min_per_cell: int,
+    n_materials: int = 8,
+):
     """Fill cells below ``min_per_cell`` up from empty slots: new markers at
     deterministic sub-cell positions, T from the grid, material = 3x3
-    neighborhood majority (dense one-hot histogram)."""
+    neighborhood majority (dense one-hot histogram over the config's
+    ``n_materials`` material ids)."""
     ny, nx, K = bm.x.shape
     count = bm.count()
     deficit = jnp.maximum(min_per_cell - count, 0)
 
-    # neighborhood-majority material (small static material count assumed
-    # bounded by the max id present; use a fixed bound of 8)
-    NMAT = 8
+    NMAT = n_materials
     hist = jnp.zeros((ny, nx, NMAT), jnp.int32)
     for m in range(NMAT):
         hist = hist.at[:, :, m].set(

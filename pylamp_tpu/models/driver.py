@@ -22,16 +22,25 @@ def run_model(
     out_dir: str | None = None,
     checkpoint_every: int = 0,
     output_every: int = 0,
+    plot_every: int = 0,
     resume_from: str | None = None,
     echo: bool = False,
     callback: Callable | None = None,
     on_divergence: str = "retry",
+    profile_phases: bool = False,
 ):
     """Run the model for cfg.time.max_steps (or until max_time).
 
     ``on_divergence``: "retry" re-runs a non-converged step once with a
     stronger solver (4x maxiter, 2x restart — SURVEY.md §5 'Failure
     detection / divergence fallback'); "warn" just records it.
+
+    ``profile_phases``: run the per-phase-instrumented step (interp / stokes
+    / energy / advect each jitted separately and synced) and emit
+    ``phase_seconds`` into the metrics JSONL (SURVEY.md §5 tracing row).
+
+    ``plot_every``: write a quick-look figure (T, |v|, log eta) every N
+    steps into ``out_dir``.
 
     Returns (final_state, diagnostics list, grid)."""
     import dataclasses
@@ -40,7 +49,12 @@ def run_model(
     if resume_from:
         state, _ = load_checkpoint(resume_from, template=state)
 
-    step = jax.jit(make_step(grid, cfg, table))
+    if profile_phases:
+        from pylamp_tpu.models.step import make_phased_runner
+
+        step = make_phased_runner(grid, cfg, table)
+    else:
+        step = jax.jit(make_step(grid, cfg, table))
     strong_step = None  # compiled lazily on first divergence
 
     logger = MetricsLogger(
@@ -72,6 +86,14 @@ def run_model(
                 diag["retried"] = True
             if not bool(diag["stokes_converged"]):
                 diag["warning"] = "stokes solver did not reach tolerance"
+        if int(diag.get("markers_dropped", 0)) > 0:
+            # capacity overflow bleeds compositional markers at convergent
+            # interfaces — surface it instead of silently degrading
+            diag["warning"] = (
+                f"{int(diag['markers_dropped'])} markers dropped (bucket "
+                f"capacity overflow) — raise ModelConfig.marker_capacity "
+                f"(currently auto 2*markers_per_cell_dim^2) or enable reseeding"
+            )
         state = new_state
 
         rec = {"step": int(state.step), "time": float(state.time), "step_wall_s": step_wall}
@@ -84,6 +106,12 @@ def run_model(
         if out_dir and output_every and int(state.step) % output_every == 0:
             save_fields(
                 os.path.join(out_dir, f"fields_{int(state.step):06d}.npz"), state, grid
+            )
+        if out_dir and plot_every and int(state.step) % plot_every == 0:
+            from pylamp_tpu.io.output import plot_fields
+
+            plot_fields(
+                os.path.join(out_dir, f"fields_{int(state.step):06d}.png"), state, grid
             )
         if out_dir and checkpoint_every and int(state.step) % checkpoint_every == 0:
             save_checkpoint(os.path.join(out_dir, "checkpoint.npz"), state)

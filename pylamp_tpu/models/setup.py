@@ -8,7 +8,6 @@ import numpy as np
 
 from pylamp_tpu.core.grid import StaggeredGrid
 from pylamp_tpu.markers.interp import markers_to_grid
-from pylamp_tpu.markers.seed import seed_markers
 from pylamp_tpu.markers.state import MarkerState
 from pylamp_tpu.models.config import ModelConfig
 from pylamp_tpu.models.state import ModelState, zero_state
@@ -44,6 +43,11 @@ def build(cfg: ModelConfig, dtype=jnp.float64):
         if cfg.material_of
         else np.zeros(xh.shape, np.int32)
     )
+    if mat.min() < 0 or mat.max() >= len(table):
+        raise ValueError(
+            f"material_of produced ids in [{mat.min()}, {mat.max()}] but the "
+            f"config defines {len(table)} materials (valid ids 0..{len(table) - 1})"
+        )
     T = (
         np.asarray(cfg.T_of(xh, yh), dtype=np.float64)
         if cfg.T_of

@@ -7,11 +7,16 @@
 The whole step is a single jittable, scan-able function of ModelState: no
 host round-trips, static shapes, adaptive dt as a traced scalar.  Under a
 device mesh the same function runs domain-decomposed (parallel/).
+
+The step is built from four phase closures (``make_step_phases``) so the
+same code can run either fused in one jit (``make_step`` — the production
+path) or phase-by-phase with host syncs for per-phase wall-clock profiling
+(``make_phased_runner`` — SURVEY.md §5 tracing/profiling row).
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +67,27 @@ def _marker_mean(markers, vals):
     return jnp.mean(vals)
 
 
-def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
+class InterpOut(NamedTuple):
+    """Marker->grid phase products consumed by the later phases."""
+
+    eta_s: Any
+    eta_n: Any
+    rho_vx: Any
+    rho_vy: Any
+    k_m: Any  # marker conductivity (dt cap + energy phase)
+    rhocp_m: Any  # marker rho*Cp
+    H_m: Any  # marker internal heating
+
+
+class StepPhases(NamedTuple):
+    interp: Callable  # (state) -> InterpOut
+    stokes: Callable  # (state, InterpOut) -> (vx, vy, p, diag)
+    energy: Callable  # (state, InterpOut, vx, vy, dt) -> (markers, T_new, diag)
+    advect: Callable  # (state, markers, vx, vy, dt, T_new) -> (markers, diag)
+    timestep: Callable  # (vx, vy, k_m, rhocp_m) -> dt
+
+
+def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
     phys = cfg.physics
     solver = cfg.solver
     tc = cfg.time
@@ -85,23 +110,38 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
             post_smooth=solver.mg_post_smooth,
             use_pallas=solver.use_pallas,
         )
+    elif solver.preconditioner == "vanka":
+        from pylamp_tpu.solvers.vanka import make_vanka_mg_preconditioner
+
+        make_precond = partial(
+            make_vanka_mg_preconditioner,
+            levels=solver.mg_levels,
+            cycles=solver.mg_cycles,
+            pre_smooth=solver.mg_pre_smooth,
+            post_smooth=solver.mg_post_smooth,
+        )
     elif solver.preconditioner == "jacobi":
         make_precond = None
     else:
         raise ValueError(f"unknown preconditioner {solver.preconditioner!r}")
 
-    def step(state: ModelState) -> Tuple[ModelState, Dict[str, Any]]:
+    def _mixed(dtype):
+        return solver.precision == "mixed" or (
+            solver.precision == "auto"
+            and dtype == jnp.float32
+            and jax.config.jax_enable_x64
+        )
+
+    # ---- phase 1: marker rheology + marker -> grid ------------------------
+    def interp(state: ModelState) -> InterpOut:
         m = state.markers
         dtype = m.x.dtype
-
-        # ---- marker properties (rheology on markers; SURVEY.md §2.1) ----
         rho_m = table.density(m.mat, m.T)
         eta_m = jnp.clip(table.viscosity_of(m.mat, m.T), phys.eta_min, phys.eta_max)
         k_m = table.conductivity(m.mat, dtype)
         rhocp_m = table.rho_cp(m.mat, m.T)
         H_m = table.heating(m.mat, dtype)
 
-        # ---- marker -> grid ------------------------------------------------
         eta_s = _interp_with_fallback(m, eta_m, grid, "corner", phys.eta_avg, state.eta_s)
         eta_n = _interp_with_fallback(m, eta_m, grid, "center", phys.eta_avg, state.eta_n)
         rho_vy = _interp_with_fallback(
@@ -113,23 +153,16 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
             )
         else:
             rho_vx = jnp.zeros(grid.shape_vx, dtype)
+        return InterpOut(eta_s, eta_n, rho_vx, rho_vy, k_m, rhocp_m, H_m)
 
-        # ---- Stokes solve (warm-started) ------------------------------------
-        mixed = solver.precision == "mixed" or (
-            solver.precision == "auto"
-            and dtype == jnp.float32
-            and jax.config.jax_enable_x64
-        )
-        if mixed:
+    # ---- phase 2: Stokes solve (warm-started) ------------------------------
+    def stokes(state: ModelState, io: InterpOut):
+        dtype = state.markers.x.dtype if not isinstance(state.markers, BucketedMarkers) \
+            else state.markers.x.dtype
+        if _mixed(dtype):
             sol = solve_stokes_mixed(
-                eta_s,
-                eta_n,
-                rho_vx,
-                rho_vy,
-                phys.gx,
-                phys.gy,
-                grid,
-                vbc,
+                io.eta_s, io.eta_n, io.rho_vx, io.rho_vy, phys.gx, phys.gy,
+                grid, vbc,
                 tol=solver.stokes_tol,
                 inner_tol=solver.inner_tol,
                 restart=solver.stokes_restart,
@@ -140,14 +173,8 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
             )
         else:
             sol = solve_stokes(
-                eta_s,
-                eta_n,
-                rho_vx,
-                rho_vy,
-                phys.gx,
-                phys.gy,
-                grid,
-                vbc,
+                io.eta_s, io.eta_n, io.rho_vx, io.rho_vy, phys.gx, phys.gy,
+                grid, vbc,
                 tol=solver.stokes_tol,
                 restart=solver.stokes_restart,
                 maxiter=solver.stokes_maxiter,
@@ -157,8 +184,26 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
         vx = sol.vx.astype(dtype)
         vy = sol.vy.astype(dtype)
         p = sol.p.astype(dtype)
+        diag = {
+            "stokes_iterations": sol.info.iterations,
+            "stokes_residual": sol.info.residual,
+            # the convergence criterion quantity (tolerance is relative)
+            "stokes_residual_rel": sol.info.residual
+            / jnp.maximum(sol.info.bnorm, jnp.finfo(sol.info.residual.dtype).tiny),
+            "stokes_converged": sol.info.converged,
+            "vmax": jnp.maximum(jnp.max(jnp.abs(vx)), jnp.max(jnp.abs(vy))),
+            "vrms": jnp.sqrt(
+                jnp.mean(
+                    (0.5 * (vx[:, 1:] + vx[:, :-1])) ** 2
+                    + (0.5 * (vy[1:, :] + vy[:-1, :])) ** 2
+                )
+            ),
+        }
+        return vx, vy, p, diag
 
-        # ---- dt selection (Courant + optional diffusion cap) ----------------
+    # ---- dt selection (Courant + optional diffusion cap) --------------------
+    def timestep(vx, vy, k_m, rhocp_m):
+        dtype = vx.dtype
         vxmax = jnp.max(jnp.abs(vx))
         vymax = jnp.max(jnp.abs(vy))
         big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
@@ -171,103 +216,83 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
             kappa_max = jnp.max(k_m / rhocp_m)
             dt_diff = tc.dt_diff_factor * min(grid.dx, grid.dy) ** 2 / kappa_max
             dt = jnp.minimum(dt, dt_diff)
-        dt = jnp.maximum(dt, tc.dt_min)
+        return jnp.maximum(dt, tc.dt_min)
 
-        diag = {
-            "stokes_iterations": sol.info.iterations,
-            "stokes_residual": sol.info.residual,
-            "stokes_converged": sol.info.converged,
-            "dt": dt,
-            "vmax": jnp.maximum(vxmax, vymax),
-            "vrms": jnp.sqrt(
-                jnp.mean(
-                    (0.5 * (vx[:, 1:] + vx[:, :-1])) ** 2
-                    + (0.5 * (vy[1:, :] + vy[:-1, :])) ** 2
-                )
-            ),
-        }
+    # ---- phase 3: energy solve + marker temperature update ------------------
+    def energy(state: ModelState, io: InterpOut, vx, vy, dt):
+        m = state.markers
+        dtype = m.x.dtype
+        diag: Dict[str, Any] = {}
+        if not phys.solve_energy:
+            return m, state.T, diag
 
-        # ---- energy solve + marker temperature update -----------------------
-        markers = m
-        if phys.solve_energy:
-            T_old = _interp_with_fallback(
-                m, m.T, grid, "corner", "arithmetic", state.T
+        T_old = _interp_with_fallback(m, m.T, grid, "corner", "arithmetic", state.T)
+        k_g = _interp_with_fallback(
+            m, io.k_m, grid, "corner", "arithmetic", _marker_mean(m, io.k_m)
+        )
+        rhocp_g = _interp_with_fallback(
+            m, io.rhocp_m, grid, "corner", "arithmetic", _marker_mean(m, io.rhocp_m)
+        )
+        H_g = _interp_with_fallback(
+            m, io.H_m, grid, "corner", "arithmetic", jnp.asarray(0.0, dtype)
+        )
+        if phys.shear_heating:
+            from pylamp_tpu.physics.heating import shear_heating
+
+            H_g = H_g + shear_heating(vx, vy, io.eta_n, grid, vbc)
+        if phys.adiabatic_heating:
+            from pylamp_tpu.physics.heating import adiabatic_heating
+
+            ra_m = jnp.asarray(table.rho0, dtype)[m.mat] * jnp.asarray(
+                table.alpha, dtype
+            )[m.mat]
+            ra_g = _interp_with_fallback(
+                m, ra_m, grid, "corner", "arithmetic", _marker_mean(m, ra_m)
             )
-            k_g = _interp_with_fallback(
-                m, k_m, grid, "corner", "arithmetic", _marker_mean(m, k_m)
+            H_g = H_g + adiabatic_heating(T_old, ra_g, vy, phys.gy, grid)
+        if _mixed(dtype):
+            esol = solve_energy_mixed(
+                T_old, k_g, rhocp_g / dt, H_g, grid, tbc,
+                tol=solver.energy_tol,
+                maxiter=solver.energy_maxiter,
+                k_avg=phys.k_face_avg,
             )
-            rhocp_g = _interp_with_fallback(
-                m, rhocp_m, grid, "corner", "arithmetic", _marker_mean(m, rhocp_m)
-            )
-            H_g = _interp_with_fallback(
-                m, H_m, grid, "corner", "arithmetic", jnp.asarray(0.0, dtype)
-            )
-            if phys.shear_heating:
-                from pylamp_tpu.physics.heating import shear_heating
-
-                H_g = H_g + shear_heating(vx, vy, eta_n, grid, vbc)
-            if phys.adiabatic_heating:
-                from pylamp_tpu.physics.heating import adiabatic_heating
-
-                ra_m = jnp.asarray(table.rho0, dtype)[m.mat] * jnp.asarray(
-                    table.alpha, dtype
-                )[m.mat]
-                ra_g = _interp_with_fallback(
-                    m, ra_m, grid, "corner", "arithmetic", _marker_mean(m, ra_m)
-                )
-                H_g = H_g + adiabatic_heating(T_old, ra_g, vy, phys.gy, grid)
-            if mixed:
-                esol = solve_energy_mixed(
-                    T_old,
-                    k_g,
-                    rhocp_g / dt,
-                    H_g,
-                    grid,
-                    tbc,
-                    tol=solver.energy_tol,
-                    maxiter=solver.energy_maxiter,
-                    k_avg=phys.k_face_avg,
-                )
-            else:
-                esol = solve_energy(
-                    T_old,
-                    k_g,
-                    rhocp_g / dt,
-                    H_g,
-                    grid,
-                    tbc,
-                    tol=solver.energy_tol,
-                    maxiter=solver.energy_maxiter,
-                    k_avg=phys.k_face_avg,
-                )
-            T_new = esol.T.astype(dtype)
-
-            if phys.subgrid_diffusion_d > 0.0:
-                # Gerya-style subgrid diffusion: relax marker T toward the
-                # old grid T on the cell-diffusion timescale, then remap
-                # only the remaining part of dT (SURVEY.md §2.1
-                # "subgrid-diffusion correction").
-                T_node_at_m = _g2m(m, T_old, grid, "corner")
-                t_diff = rhocp_m / (
-                    k_m * (2.0 / grid.dx**2 + 2.0 / grid.dy**2)
-                )
-                relax = 1.0 - jnp.exp(-phys.subgrid_diffusion_d * dt / t_diff)
-                dT_sub_m = (T_node_at_m - m.T) * relax
-                dT_sub_g, wsub = _m2g(m, dT_sub_m, grid, "corner", "arithmetic")
-                dT_sub_g = jnp.where(wsub > 0, dT_sub_g, 0.0)
-                dT_rem = (T_new - T_old) - dT_sub_g
-                T_m = m.T + dT_sub_m + _g2m(m, dT_rem, grid, "corner")
-            else:
-                dT = T_new - T_old
-                T_m = m.T + _g2m(m, dT, grid, "corner")
-
-            markers = markers.replace(T=T_m)
-            diag["energy_iterations"] = esol.info.iterations
-            diag["T_mean"] = jnp.mean(T_new)
         else:
-            T_new = state.T
+            esol = solve_energy(
+                T_old, k_g, rhocp_g / dt, H_g, grid, tbc,
+                tol=solver.energy_tol,
+                maxiter=solver.energy_maxiter,
+                k_avg=phys.k_face_avg,
+            )
+        T_new = esol.T.astype(dtype)
 
-        # ---- advect markers (+ re-bucket in the dense engine) -----------------
+        if phys.subgrid_diffusion_d > 0.0:
+            # Gerya-style subgrid diffusion: relax marker T toward the
+            # old grid T on the cell-diffusion timescale, then remap
+            # only the remaining part of dT (SURVEY.md §2.1
+            # "subgrid-diffusion correction").
+            T_node_at_m = _g2m(m, T_old, grid, "corner")
+            t_diff = io.rhocp_m / (
+                io.k_m * (2.0 / grid.dx**2 + 2.0 / grid.dy**2)
+            )
+            relax = 1.0 - jnp.exp(-phys.subgrid_diffusion_d * dt / t_diff)
+            dT_sub_m = (T_node_at_m - m.T) * relax
+            dT_sub_g, wsub = _m2g(m, dT_sub_m, grid, "corner", "arithmetic")
+            dT_sub_g = jnp.where(wsub > 0, dT_sub_g, 0.0)
+            dT_rem = (T_new - T_old) - dT_sub_g
+            T_m = m.T + dT_sub_m + _g2m(m, dT_rem, grid, "corner")
+        else:
+            dT = T_new - T_old
+            T_m = m.T + _g2m(m, dT, grid, "corner")
+
+        markers = m.replace(T=T_m)
+        diag["energy_iterations"] = esol.info.iterations
+        diag["T_mean"] = jnp.mean(T_new)
+        return markers, T_new, diag
+
+    # ---- phase 4: advect markers (+ re-bucket in the dense engine) ----------
+    def advect(markers, vx, vy, dt, T_new):
+        diag: Dict[str, Any] = {}
         if isinstance(markers, BucketedMarkers):
             # Courant <= 0.5 (and static walls) bounds every RK stage
             # displacement to half a cell -> the cheaper shift reach applies.
@@ -285,13 +310,15 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
             diag["marker_count"] = markers.total()
             if phys.reseed_min_per_cell > 0:
                 markers = bucket_reseed(
-                    markers, T_new, grid, min_per_cell=phys.reseed_min_per_cell
+                    markers, T_new, grid,
+                    min_per_cell=phys.reseed_min_per_cell,
+                    n_materials=len(table),
                 )
         else:
             px, py = advect_rk4(markers.x, markers.y, vx, vy, dt, grid, vbc)
             markers = markers.replace(x=px, y=py)
 
-            # ---- repopulate starved cells (optional) --------------------------
+            # ---- repopulate starved cells (optional) ------------------------
             if phys.reseed_min_per_cell > 0:
                 from pylamp_tpu.markers.reseed import reseed_starved
 
@@ -303,6 +330,24 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
                     min_per_cell=phys.reseed_min_per_cell,
                     max_moves=phys.reseed_max_moves,
                 )
+        return markers, diag
+
+    return StepPhases(interp, stokes, energy, advect, timestep)
+
+
+def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
+    """The fused production step: all phases traced into one function."""
+    ph = make_step_phases(grid, cfg, table)
+
+    def step(state: ModelState) -> Tuple[ModelState, Dict[str, Any]]:
+        io = ph.interp(state)
+        vx, vy, p, diag = ph.stokes(state, io)
+        dt = ph.timestep(vx, vy, io.k_m, io.rhocp_m)
+        diag["dt"] = dt
+        markers, T_new, ediag = ph.energy(state, io, vx, vy, dt)
+        diag.update(ediag)
+        markers, adiag = ph.advect(markers, vx, vy, dt, T_new)
+        diag.update(adiag)
 
         new_state = state.replace(
             markers=markers,
@@ -310,8 +355,8 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
             vy=vy,
             p=p,
             T=T_new,
-            eta_s=eta_s,
-            eta_n=eta_n,
+            eta_s=io.eta_s,
+            eta_n=io.eta_n,
             time=state.time + dt,
             step=state.step + 1,
             dt=dt,
@@ -319,3 +364,67 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
         return new_state, diag
 
     return step
+
+
+def make_phased_runner(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
+    """Per-phase-instrumented step for profiling (SURVEY.md §5 tracing row).
+
+    Returns ``run(state) -> (new_state, diag)`` where ``diag`` additionally
+    carries ``phase_seconds``: wall-clock per phase (interp / stokes / energy
+    / advect), each phase jitted separately and synced.  Numerically
+    identical to ``make_step`` (same phase closures); only for measurement —
+    the syncs cost a few ms/step.
+    """
+    from pylamp_tpu.utils.profiling import phase
+
+    ph = make_step_phases(grid, cfg, table)
+
+    interp_j = jax.jit(ph.interp)
+    stokes_j = jax.jit(ph.stokes)
+    ts_j = jax.jit(ph.timestep)
+    energy_j = jax.jit(ph.energy)
+    advect_j = jax.jit(ph.advect)
+
+    import time as _time
+
+    def run(state: ModelState):
+        secs: Dict[str, float] = {}
+
+        t0 = _time.perf_counter()
+        with phase("interp"):
+            io = jax.block_until_ready(interp_j(state))
+        secs["interp"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        with phase("stokes"):
+            vx, vy, p, diag = stokes_j(state, io)
+            jax.block_until_ready(vx)
+        secs["stokes"] = _time.perf_counter() - t0
+
+        dt = ts_j(vx, vy, io.k_m, io.rhocp_m)
+        diag["dt"] = dt
+
+        t0 = _time.perf_counter()
+        with phase("energy"):
+            markers, T_new, ediag = jax.block_until_ready(
+                energy_j(state, io, vx, vy, dt)
+            )
+        secs["energy"] = _time.perf_counter() - t0
+        diag.update(ediag)
+
+        t0 = _time.perf_counter()
+        with phase("advect"):
+            markers, adiag = advect_j(markers, vx, vy, dt, T_new)
+            jax.block_until_ready(markers.x)
+        secs["advect"] = _time.perf_counter() - t0
+        diag.update(adiag)
+
+        new_state = state.replace(
+            markers=markers, vx=vx, vy=vy, p=p, T=T_new,
+            eta_s=io.eta_s, eta_n=io.eta_n,
+            time=state.time + dt, step=state.step + 1, dt=dt,
+        )
+        diag["phase_seconds"] = secs
+        return new_state, diag
+
+    return run

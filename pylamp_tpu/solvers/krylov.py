@@ -30,6 +30,7 @@ class SolveInfo(NamedTuple):
     iterations: jnp.ndarray  # total operator applications
     residual: jnp.ndarray  # final (preconditioned-system) residual norm
     converged: jnp.ndarray  # bool
+    bnorm: jnp.ndarray = None  # ||b||: residual/bnorm is the relative residual
 
 
 # -- pytree vector helpers --------------------------------------------------
@@ -98,7 +99,7 @@ def cg(
 
     x, r, _, _, _, k = lax.while_loop(cond, body, (x0, r0, z0, z0, rz0, jnp.array(0)))
     res = tnorm(r)
-    return x, SolveInfo(k, res, res <= target)
+    return x, SolveInfo(k, res, res <= target, bnorm)
 
 
 # -- FGMRES(m) ----------------------------------------------------------------
@@ -250,4 +251,4 @@ def fgmres(
     r0 = tnorm(tsub(b, op(x0)))
     inf = jnp.asarray(jnp.inf, r0.dtype)
     x, it, res, _ = lax.while_loop(cond, body, (x0, jnp.array(0), r0, inf))
-    return x, SolveInfo(it, res, res <= target)
+    return x, SolveInfo(it, res, res <= target, bnorm)

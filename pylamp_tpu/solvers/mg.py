@@ -27,9 +27,6 @@ Design:
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-
 import jax.numpy as jnp
 
 from pylamp_tpu.core.bc import VelocityBCs
@@ -136,12 +133,6 @@ def restrict_vy(f, bcs: VelocityBCs):
 
 
 # -- level structure -----------------------------------------------------------
-
-@dataclasses.dataclass(frozen=True)
-class _Level:
-    grid: StaggeredGrid
-    # arrays are closed over in the returned callable, not stored here
-
 
 def _momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd):
     rx, ry, _ = stokes_operator(

@@ -65,4 +65,4 @@ def refine(
     x, _, res, k, it = lax.while_loop(
         cond, body, (x0_64, r0, tnorm(r0), jnp.array(0), jnp.array(0))
     )
-    return x, SolveInfo(it, res, res <= target)
+    return x, SolveInfo(it, res, res <= target, bnorm)
