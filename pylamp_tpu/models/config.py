@@ -50,6 +50,12 @@ class SolverConfig:
     # viscosity contrast: a marginal cycle amplifies when iterated)
     mg_pre_smooth: int = 3  # Chebyshev degree
     mg_post_smooth: int = 3
+    # Extreme-contrast stabilizers (solvers/mg.py): diagonally-scaled
+    # transfers + per-level minimal-residual damping of the coarse
+    # correction.  Makes the V-cycle monotone at sticky-air-scale sharp
+    # viscosity jumps where the plain cycle diverges.
+    mg_scaled_transfers: bool = False
+    mg_ls_damp: bool = False
     # Fused Pallas stencil kernel in the MG smoother.  Measured on v5e at
     # 1024^2: 0.651 s/step vs 0.627 s/step for the XLA-fused jnp path — XLA
     # already fuses this stencil well, so the kernel is off by default and

@@ -109,6 +109,8 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             pre_smooth=solver.mg_pre_smooth,
             post_smooth=solver.mg_post_smooth,
             use_pallas=solver.use_pallas,
+            scaled_transfers=solver.mg_scaled_transfers,
+            ls_damp=solver.mg_ls_damp,
         )
     elif solver.preconditioner == "vanka":
         from pylamp_tpu.solvers.vanka import make_vanka_mg_preconditioner

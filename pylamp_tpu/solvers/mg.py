@@ -226,11 +226,32 @@ def make_velocity_mg(
     coarse_iters: int = 32,
     smoother: str = "chebyshev",
     use_pallas: bool = True,
+    scaled_transfers: bool = False,
+    ls_damp: bool = False,
 ):
     """Returns mg(rx, ry) -> (zx, zy): `cycles` handled by the caller.
 
     ``pre_smooth``/``post_smooth`` are the Chebyshev polynomial degrees (or
-    Jacobi sweep counts with smoother="jacobi")."""
+    Jacobi sweep counts with smoother="jacobi").
+
+    Extreme-contrast stabilizers (both measured on a 1e6-contrast sticky-air
+    viscosity field, where the plain V-cycle amplifies the residual ~5e3x per
+    cycle through the coarse correction):
+
+    - ``scaled_transfers``: diagonally-scaled (operator-dependent) transfers
+      R' = D_c^(1/2) R D_f^(-1/2), P' = D_f^(-1/2) P D_c^(1/2).  Prolonged
+      corrections landing on faces whose fine-level stiffness exceeds the
+      coarse level's are locally damped by the stiffness ratio, which stops
+      soft-side coarse corrections from injecting contrast-scale momentum
+      residuals across a viscosity interface (the classic jumping-
+      coefficient remedy; smeared coarse coefficients under- represent the
+      stiff side by ~sqrt(contrast)).
+    - ``ls_damp``: per-level minimal-residual line search on the prolonged
+      correction (x += alpha e with alpha = <r, Ae>/<Ae, Ae>), which makes
+      every coarse correction monotone in the level residual norm whatever
+      the coarse operator quality.  Costs one extra operator apply per
+      level.
+    """
     nlev = num_levels(grid, levels)
     dtype = eta_n.dtype
 
@@ -247,6 +268,12 @@ def make_velocity_mg(
         velocity_diagonals(es, en, g, kb)
         for (es, en), g, kb in zip(etas, grids, kbnds)
     ]
+
+    scales = (
+        [(jnp.sqrt(dx_), jnp.sqrt(dy_)) for dx_, dy_ in diags]
+        if scaled_transfers
+        else None
+    )
 
     lam_max = []
     if smoother == "chebyshev":
@@ -313,11 +340,41 @@ def make_velocity_mg(
         ex, ey = smooth(l, ex, ey, rx, ry, pre_smooth)
         ax, ay = momentum_apply(ex, ey, *etas[l], grids[l], bcs, kbnds[l],
                                 use_pallas=use_pallas)
-        rcx = restrict_vx(rx - ax, bcs)
-        rcy = restrict_vy(ry - ay, bcs)
-        ecx, ecy = vcycle(l + 1, rcx, rcy)
-        ex = ex + prolong_vx(ecx, bcs)
-        ey = ey + prolong_vy(ecy, bcs)
+        rfx, rfy = rx - ax, ry - ay
+        if scaled_transfers:
+            sfx, sfy = scales[l]
+            scx, scy = scales[l + 1]
+            rcx = scx * restrict_vx(rfx / sfx, bcs)
+            rcy = scy * restrict_vy(rfy / sfy, bcs)
+            ecx, ecy = vcycle(l + 1, rcx, rcy)
+            pex = prolong_vx(scx * ecx, bcs) / sfx
+            pey = prolong_vy(scy * ecy, bcs) / sfy
+        else:
+            rcx = restrict_vx(rfx, bcs)
+            rcy = restrict_vy(rfy, bcs)
+            ecx, ecy = vcycle(l + 1, rcx, rcy)
+            pex = prolong_vx(ecx, bcs)
+            pey = prolong_vy(ecy, bcs)
+        if ls_damp:
+            aex, aey = momentum_apply(pex, pey, *etas[l], grids[l], bcs,
+                                      kbnds[l], use_pallas=use_pallas)
+            # alpha = <r, Ae>/<Ae, Ae>, computed on Ae/s with
+            # s = max|Ae| so the squared sums cannot overflow f32 (momentum
+            # entries reach ~1e15 at mantle viscosities; their squares do
+            # not fit in f32).
+            s = jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(aex)), jnp.max(jnp.abs(aey))),
+                jnp.finfo(rx.dtype).tiny,
+            )
+            uex, uey = aex / s, aey / s
+            num = jnp.vdot(rfx, uex) + jnp.vdot(rfy, uey)
+            den = s * (jnp.vdot(uex, uex) + jnp.vdot(uey, uey))
+            alpha = num / jnp.maximum(den, jnp.finfo(rx.dtype).tiny)
+            ex = ex + alpha * pex
+            ey = ey + alpha * pey
+        else:
+            ex = ex + pex
+            ey = ey + pey
         ex, ey = smooth(l, ex, ey, rx, ry, post_smooth)
         return ex, ey
 
@@ -341,6 +398,8 @@ def make_mg_preconditioner(
     omega: float = 0.6,
     smoother: str = "chebyshev",
     use_pallas: bool = True,
+    scaled_transfers: bool = False,
+    ls_damp: bool = False,
 ):
     """Block upper-triangular preconditioner for the full Stokes system."""
     if bcs is None:
@@ -349,6 +408,7 @@ def make_mg_preconditioner(
         eta_s, eta_n, grid, bcs, kbnd,
         levels=levels, pre_smooth=pre_smooth, post_smooth=post_smooth, omega=omega,
         smoother=smoother, use_pallas=use_pallas,
+        scaled_transfers=scaled_transfers, ls_damp=ls_damp,
     )
     dtype = eta_n.dtype
 

@@ -1,34 +1,49 @@
-"""Coupled geometric multigrid with a Vanka-type box smoother.
+"""Coupled geometric multigrid for extreme-viscosity-contrast Stokes.
 
 The block-triangular MG in solvers/mg.py (velocity V-cycles + diagonal Schur
 surrogate) degrades under extreme sharp-interface viscosity contrast — the
 sticky-air benchmark (BASELINE config 5, SURVEY.md §7.3 risk #1) costs
 ~1000 Krylov iterations/step with it.  This module implements the classic
-fix ("Vanka smoother fallback", SURVEY.md §7.3 item 1): multigrid on the
-FULL (vx, vy, p) saddle-point system whose smoother updates, cell by cell,
-the coupled 5-DOF box (4 face velocities + cell pressure), so pressure and
-velocity relax *together* and the smoother remains effective where the
-pressure field jumps by decades across one cell.
+fix (SURVEY.md §7.3 item 1 names the coupled-smoother family): multigrid on
+the FULL (vx, vy, p) saddle-point system, so pressure and velocity relax
+together where viscosity jumps by decades across one cell.
 
-Design (all dense slicing on static shapes — TPU/XLA-friendly, GSPMD
-shardable):
+Two ingredients, both load-bearing (each was isolated by measurement):
 
-- **Diagonal Vanka, red-black**: each cell's 5x5 local saddle system is
-  solved with the diagonal approximation of the momentum block (the full A
-  coupling is left to the outer sweeps), which reduces to a closed-form
-  pressure update followed by face-velocity updates.  Checkerboard cells
-  share no faces, so a color's cells update simultaneously and exactly —
-  two colors per sweep = multiplicative (Gauss-Seidel) Vanka with one
-  residual recomputation between colors.
-- rediscretized coarse operators with geometric-mean viscosity coarsening
-  (mg.py:coarsen_eta); velocity transfers reuse the BC-aware staggered
-  bilinear pair from mg.py; pressure transfers are the adjoint
-  injection/4-cell-average pair.
-- used as FGMRES preconditioner via make_vanka_mg_preconditioner (selected
-  with SolverConfig.preconditioner = "vanka").
+1. **Symmetric Jacobi equilibration per level.**  Momentum rows scale with
+   the local viscosity, so at a sharp interface any pressure correction dp
+   leaves momentum residuals of size O(eta * r_c) that alias through the
+   transfer operators into contrast-scale coarse corrections.  Measured:
+   residual AND error grow ~ contrast x 0.1 per V-cycle for every unscaled
+   coupled smoother tried (exact-box Vanka, pointwise Uzawa, unscaled
+   Braess-Sarazin).  Scaling velocities by sqrt(momentum diagonal) and
+   pressure by sqrt(|Schur diagonal|) makes the scaled system's rows and
+   columns O(1): smoother updates, residuals, and transfer quantities stay
+   bounded at ANY viscosity contrast (the classic diagonal-scaling remedy
+   for jumping-coefficient multigrid).
+
+2. **Braess-Sarazin smoothing.**  Each sweep approximately solves the
+   damped-diagonal saddle system [[alpha*I, G_hat], [B_hat, 0]] du = r_hat
+   globally: a few damped Jacobi iterations on the scaled pressure
+   Laplacian B_hat (alpha)^-1 G_hat (unit diagonal by construction), then
+   the consistent velocity update dv = (r_v - G_hat dp)/alpha.  Pressure
+   and velocity move through one consistent global approximate saddle
+   solve — unlike per-cell updates, whose contrast-scale local pressure
+   compensations destabilize simultaneous sweeps.  Braess & Sarazin (1997)
+   prove the smoothing property for alpha >~ 1.
+
+TPU-native design: everything is dense static-shaped stencil arithmetic
+(no scatter/gather, no matrix assembly), jit/GSPMD-shardable, with rolled
+`lax.fori_loop` sweep loops to keep compile time bounded.
+
+Used as the FGMRES preconditioner via make_vanka_mg_preconditioner
+(selected with SolverConfig.preconditioner = "vanka"; the historical name
+— the first implementation used a red-black exact-box Vanka smoother,
+which measurement replaced with the equilibrated Braess-Sarazin above).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from pylamp_tpu.core.bc import VelocityBCs
@@ -42,10 +57,9 @@ from pylamp_tpu.solvers.mg import (
     restrict_vx,
     restrict_vy,
 )
-from pylamp_tpu.solvers.stokes_solver import velocity_diagonals
-
 
 # -- pressure (cell-centered) transfers ----------------------------------------
+
 
 def restrict_p(f):
     """(2NY, 2NX) -> (NY, NX): 4-child average (P^T/4 of injection)."""
@@ -58,85 +72,149 @@ def prolong_p(c):
     return jnp.broadcast_to(c[:, None, :, None], (ny, 2, nx, 2)).reshape(2 * ny, 2 * nx)
 
 
-# -- the Vanka cell update -------------------------------------------------------
+# -- BC-aware momentum diagonals -------------------------------------------------
 
-def _cell_masks(grid: StaggeredGrid, dtype):
-    """Gradient coefficients g_k = d(momentum row k)/d(p of this cell),
-    zeroed on Dirichlet (wall-normal boundary) rows."""
+
+def momentum_diagonals_bc(eta_s, eta_n, grid: StaggeredGrid, bcs: VelocityBCs, kbnd):
+    """BC-aware full momentum diagonals on the (vx, vy) face lattices (the
+    ghost elimination drops the wall eta_s term under free slip and doubles
+    it under no slip); Dirichlet faces carry kbnd."""
     ny, nx = grid.ny, grid.nx
-    one = jnp.ones((ny, nx), dtype)
-    gL = (one / grid.dx).at[:, 0].set(0.0)
-    gR = (-one / grid.dx).at[:, -1].set(0.0)
-    gT = (one / grid.dy).at[0, :].set(0.0)
-    gB = (-one / grid.dy).at[-1, :].set(0.0)
-    return gL, gR, gT, gB
-
-
-def _vanka_update(rx, ry, rc, dvx, dvy, gmasks, grid, kcont, mask):
-    """Per-cell coupled correction (diagonal Vanka) for cells where ``mask``.
-
-    Returns (dvx_field, dvy_field, dp_field) with the shapes of (vx, vy, p).
-    """
-    gL, gR, gT, gB = gmasks
-    aL, aR = dvx[:, :-1], dvx[:, 1:]
-    aT, aB = dvy[:-1, :], dvy[1:, :]
-    rL, rR = rx[:, :-1], rx[:, 1:]
-    rT, rB = ry[:-1, :], ry[1:, :]
-    bL = -kcont / grid.dx
-    bR = kcont / grid.dx
-    bT = -kcont / grid.dy
-    bB = kcont / grid.dy
-
-    S = bL * gL / aL + bR * gR / aR + bT * gT / aT + bB * gB / aB
-    num = bL * rL / aL + bR * rR / aR + bT * rT / aT + bB * rB / aB - rc
-    dp = jnp.where(S != 0, num / jnp.where(S == 0, 1.0, S), 0.0)
-    dp = jnp.where(mask, dp, 0.0)
-
-    dL = jnp.where(mask, (rL - gL * dp) / aL, 0.0)
-    dR = jnp.where(mask, (rR - gR * dp) / aR, 0.0)
-    dT = jnp.where(mask, (rT - gT * dp) / aT, 0.0)
-    dB = jnp.where(mask, (rB - gB * dp) / aB, 0.0)
-
-    # scatter cell-face corrections onto the face lattices; adjacent cells
-    # have opposite colors, so each face receives exactly one contribution
-    dvx_f = jnp.zeros((grid.ny, grid.nx + 1), rx.dtype)
-    dvx_f = dvx_f.at[:, :-1].add(dL).at[:, 1:].add(dR)
-    dvy_f = jnp.zeros((grid.ny + 1, grid.nx), ry.dtype)
-    dvy_f = dvy_f.at[:-1, :].add(dT).at[1:, :].add(dB)
-    return dvx_f, dvy_f, dp
-
-
-def make_vanka_smoother(eta_s, eta_n, grid: StaggeredGrid, bcs: VelocityBCs,
-                        kcont, kbnd, omega: float = 1.0):
-    """Returns smooth(u, rhs, sweeps) performing red-black multiplicative
-    diagonal-Vanka sweeps on the full saddle system."""
     dtype = eta_n.dtype
-    dvx, dvy = velocity_diagonals(eta_s, eta_n, grid, kbnd)
-    gmasks = _cell_masks(grid, dtype)
-    ii = jnp.arange(grid.nx)[None, :]
-    jj = jnp.arange(grid.ny)[:, None]
-    red = (ii + jj) % 2 == 0
+    dx2, dy2 = grid.dx**2, grid.dy**2
+    wt = jnp.ones((ny, 1), dtype).at[0, 0].set(1.0 - bcs.s_top)
+    wb = jnp.ones((ny, 1), dtype).at[-1, 0].set(1.0 - bcs.s_bottom)
+    dvx_int = (
+        2.0 * (eta_n[:, 1:] + eta_n[:, :-1]) / dx2
+        + (wt * eta_s[:-1, 1:-1] + wb * eta_s[1:, 1:-1]) / dy2
+    )
+    wl = jnp.ones((1, nx), dtype).at[0, 0].set(1.0 - bcs.s_left)
+    wr = jnp.ones((1, nx), dtype).at[0, -1].set(1.0 - bcs.s_right)
+    dvy_int = (
+        2.0 * (eta_n[1:, :] + eta_n[:-1, :]) / dy2
+        + (wl * eta_s[1:-1, :-1] + wr * eta_s[1:-1, 1:]) / dx2
+    )
+    kb = jnp.full((ny, 1), kbnd, dtype)
+    dvx = jnp.concatenate([kb, dvx_int, kb], axis=1)
+    kb = jnp.full((1, nx), kbnd, dtype)
+    dvy = jnp.concatenate([kb, dvy_int, kb], axis=0)
+    return dvx, dvy
 
-    def smooth(u, rhs, sweeps: int):
-        vx, vy, p = u
-        bx, by, bc = rhs
-        for _ in range(sweeps):
-            for mask in (red, ~red):
-                ax, ay, ac = stokes_operator(
-                    vx, vy, p, eta_s, eta_n, grid, bcs, kcont=kcont, kbnd=kbnd
-                )
-                dx_f, dy_f, dp = _vanka_update(
-                    bx - ax, by - ay, bc - ac, dvx, dvy, gmasks, grid, kcont, mask
-                )
-                vx = vx + omega * dx_f
-                vy = vy + omega * dy_f
-                p = p + omega * dp
-        return vx, vy, p
 
-    return smooth
+# -- one equilibrated level ------------------------------------------------------
+
+
+class _ScaledLevel:
+    """One level of the equilibrated coupled MG: the symmetric Jacobi
+    scaling of the saddle system plus the Braess-Sarazin smoother data."""
+
+    def __init__(self, eta_s, eta_n, grid: StaggeredGrid, bcs: VelocityBCs,
+                 kcont, kbnd, alpha: float):
+        self.eta_s, self.eta_n = eta_s, eta_n
+        self.grid, self.bcs = grid, bcs
+        self.kcont, self.kbnd = kcont, kbnd
+        self.alpha = alpha
+        dx, dy = grid.dx, grid.dy
+
+        dvx, dvy = momentum_diagonals_bc(eta_s, eta_n, grid, bcs, kbnd)
+        adx, ady = alpha * dvx, alpha * dvy
+        # Face transmissibilities of M_p = B (alpha D)^-1 G: zero on
+        # Dirichlet faces (their momentum rows carry no pressure gradient
+        # -> natural Neumann closure for the pressure stencil).
+        tL = ((kcont / dx**2) / adx[:, :-1]).at[:, 0].set(0.0)
+        tR = ((kcont / dx**2) / adx[:, 1:]).at[:, -1].set(0.0)
+        tT = ((kcont / dy**2) / ady[:-1, :]).at[0, :].set(0.0)
+        tB = ((kcont / dy**2) / ady[1:, :]).at[-1, :].set(0.0)
+        self.t = (tL, tR, tT, tB)
+        diag_p = tL + tR + tT + tB  # |Schur diagonal| (M_p = links - diag)
+        self.sx = jnp.sqrt(dvx)
+        self.sy = jnp.sqrt(dvy)
+        self.sp = jnp.sqrt(diag_p)
+
+    # -- scaled-space linear algebra ------------------------------------
+
+    def scale_r(self, r):
+        """PDE residual -> scaled residual (D^-1 r)."""
+        return (r[0] / self.sx, r[1] / self.sy, r[2] / self.sp)
+
+    def unscale_r(self, rh):
+        """Scaled residual -> PDE residual (D r_hat)."""
+        return (rh[0] * self.sx, rh[1] * self.sy, rh[2] * self.sp)
+
+    def unscale_x(self, xh):
+        """Scaled solution -> PDE solution (x = D^-1 x_hat)."""
+        return (xh[0] / self.sx, xh[1] / self.sy, xh[2] / self.sp)
+
+    def scale_x(self, x):
+        """PDE solution -> scaled solution (x_hat = D x)."""
+        return (x[0] * self.sx, x[1] * self.sy, x[2] * self.sp)
+
+    def zeros(self):
+        g, dt = self.grid, self.sx.dtype
+        return (
+            jnp.zeros(g.shape_vx, dt),
+            jnp.zeros(g.shape_vy, dt),
+            jnp.zeros(g.shape_center, dt),
+        )
+
+    def apply_scaled(self, xh):
+        """A_hat x_hat = D^-1 A (D^-1 x_hat): unit momentum diagonal."""
+        vx, vy, p = self.unscale_x(xh)
+        r = stokes_operator(
+            vx, vy, p, self.eta_s, self.eta_n, self.grid, self.bcs,
+            kcont=self.kcont, kbnd=self.kbnd,
+        )
+        return self.scale_r(r)
+
+    def _apply_Mp_hat(self, ph):
+        """Scaled pressure stencil D_p^-1 M_p D_p^-1; diagonal is -1."""
+        tL, tR, tT, tB = self.t
+        p = ph / self.sp
+        pL = jnp.pad(p, ((0, 0), (1, 0)))[:, :-1]
+        pR = jnp.pad(p, ((0, 0), (0, 1)))[:, 1:]
+        pT = jnp.pad(p, ((1, 0), (0, 0)))[:-1, :]
+        pB = jnp.pad(p, ((0, 1), (0, 0)))[1:, :]
+        out = tL * (pL - p) + tR * (pR - p) + tT * (pT - p) + tB * (pB - p)
+        return out / self.sp
+
+    def smooth(self, uh, rhs_h, sweeps: int, pressure_jacobi: int = 4,
+               omega_j: float = 0.8):
+        """Braess-Sarazin sweeps on the scaled system (see module doc)."""
+        grid, kcont, alpha = self.grid, self.kcont, self.alpha
+        dx, dy = grid.dx, grid.dy
+
+        def sweep(uh):
+            rx, ry, rc = jax.tree.map(
+                lambda b, a: b - a, rhs_h, self.apply_scaled(uh)
+            )
+            # rhs of the scaled pressure system: B_hat (alpha)^-1 r_v - r_c
+            qx = rx / (alpha * self.sx)
+            qy = ry / (alpha * self.sy)
+            rhs_p = (
+                kcont
+                * ((qx[:, 1:] - qx[:, :-1]) / dx + (qy[1:, :] - qy[:-1, :]) / dy)
+                / self.sp
+                - rc
+            )
+            dp = jnp.zeros_like(rc)
+            for _ in range(pressure_jacobi):
+                # Jacobi with diag(M_p_hat) = -1
+                dp = dp - omega_j * (rhs_p - self._apply_Mp_hat(dp))
+            # consistent velocity update dv = (r_v - G_hat dp)/alpha
+            dpp = dp / self.sp
+            gpx = jnp.pad(dpp[:, 1:] - dpp[:, :-1], ((0, 0), (1, 1))) / dx
+            gpy = jnp.pad(dpp[1:, :] - dpp[:-1, :], ((1, 1), (0, 0))) / dy
+            dvx_h = (rx - gpx / self.sx) / alpha
+            dvy_h = (ry - gpy / self.sy) / alpha
+            return (uh[0] + dvx_h, uh[1] + dvy_h, uh[2] + dp)
+
+        # rolled loop: V-cycles contain O(40) sweeps across levels — fully
+        # unrolling them explodes XLA compile time (minutes on CPU)
+        return jax.lax.fori_loop(0, sweeps, lambda _, u: sweep(u), uh)
 
 
 # -- the coupled V-cycle ---------------------------------------------------------
+
 
 def make_coupled_vanka_mg(
     eta_s,
@@ -149,60 +227,49 @@ def make_coupled_vanka_mg(
     pre_smooth: int = 2,
     post_smooth: int = 2,
     coarse_sweeps: int = 24,
-    omega: float = 1.0,
+    alpha: float = 1.5,
 ):
-    """Returns mg(rhs) -> u: one V-cycle on the full (vx, vy, p) system from
-    a zero initial guess."""
+    """Returns mg(rhs) -> u: one equilibrated coupled V-cycle on the full
+    (vx, vy, p) system from a zero initial guess.  ``rhs`` and the returned
+    correction are in PDE units; the scaling is internal."""
     nlev = num_levels(grid, levels)
-    dtype = eta_n.dtype
-
-    grids = [grid]
-    etas = [(eta_s, eta_n)]
-    for _ in range(nlev - 1):
-        g = grids[-1]
-        grids.append(StaggeredGrid(nx=g.nx // 2, ny=g.ny // 2, lx=g.lx, ly=g.ly))
-        etas.append(coarsen_eta(*etas[-1]))
 
     # Dirichlet-row scaling follows the stencil's h^-2 growth per level;
     # the continuity scaling kcont is h-independent row scaling and must
     # stay the same on every level so restricted residuals stay consistent.
-    kbnds = [kbnd * (grids[0].dx / g.dx) ** 2 for g in grids]
-    smoothers = [
-        make_vanka_smoother(es, en, g, bcs, kcont, kb, omega=omega)
-        for (es, en), g, kb in zip(etas, grids, kbnds)
-    ]
+    lv = [_ScaledLevel(eta_s, eta_n, grid, bcs, kcont, kbnd, alpha)]
+    for _ in range(nlev - 1):
+        g = lv[-1].grid
+        cg = StaggeredGrid(nx=g.nx // 2, ny=g.ny // 2, lx=g.lx, ly=g.ly)
+        es, en = coarsen_eta(lv[-1].eta_s, lv[-1].eta_n)
+        ckbnd = kbnd * (grid.dx / cg.dx) ** 2
+        lv.append(_ScaledLevel(es, en, cg, bcs, kcont, ckbnd, alpha))
 
-    def apply_op(l, u):
-        es, en = etas[l]
-        return stokes_operator(
-            u[0], u[1], u[2], es, en, grids[l], bcs, kcont=kcont, kbnd=kbnds[l]
-        )
-
-    def zeros(l):
-        g = grids[l]
-        return (
-            jnp.zeros(g.shape_vx, dtype),
-            jnp.zeros(g.shape_vy, dtype),
-            jnp.zeros(g.shape_center, dtype),
-        )
-
-    def vcycle(l, rhs):
+    def vcycle(l, rhs_h):
+        L = lv[l]
         if l == nlev - 1:
-            return smoothers[l](zeros(l), rhs, coarse_sweeps)
-        u = smoothers[l](zeros(l), rhs, pre_smooth)
-        ax, ay, ac = apply_op(l, u)
-        r = (rhs[0] - ax, rhs[1] - ay, rhs[2] - ac)
-        rc = (restrict_vx(r[0], bcs), restrict_vy(r[1], bcs), restrict_p(r[2]))
-        ec = vcycle(l + 1, rc)
-        u = (
-            u[0] + prolong_vx(ec[0], bcs),
-            u[1] + prolong_vy(ec[1], bcs),
-            u[2] + prolong_p(ec[2]),
+            return L.smooth(L.zeros(), rhs_h, coarse_sweeps)
+        uh = L.smooth(L.zeros(), rhs_h, pre_smooth)
+        rh = jax.tree.map(lambda b, a: b - a, rhs_h, L.apply_scaled(uh))
+        # transfers act on PDE-unit quantities; rescale per level
+        r = L.unscale_r(rh)
+        C = lv[l + 1]
+        rc_h = C.scale_r(
+            (restrict_vx(r[0], bcs), restrict_vy(r[1], bcs), restrict_p(r[2]))
         )
-        return smoothers[l](u, rhs, post_smooth)
+        ec_h = vcycle(l + 1, rc_h)
+        e = C.unscale_x(ec_h)
+        ef_h = L.scale_x(
+            (prolong_vx(e[0], bcs), prolong_vy(e[1], bcs), prolong_p(e[2]))
+        )
+        uh = jax.tree.map(lambda a, b: a + b, uh, ef_h)
+        return L.smooth(uh, rhs_h, post_smooth)
+
+    fine = lv[0]
 
     def mg(rhs):
-        return vcycle(0, rhs)
+        uh = vcycle(0, fine.scale_r(rhs))
+        return fine.unscale_x(uh)
 
     return mg
 
@@ -219,9 +286,9 @@ def make_vanka_mg_preconditioner(
     pre_smooth: int = 2,
     post_smooth: int = 2,
     coarse_sweeps: int = 24,
-    omega: float = 1.0,
+    alpha: float = 1.5,
 ):
-    """FGMRES preconditioner: coupled Vanka-MG V-cycle(s) on the full
+    """FGMRES preconditioner: equilibrated coupled-MG V-cycle(s) on the full
     residual; pressure returned in the mean-zero gauge (the constant-
     pressure nullspace is projected once per application)."""
     if bcs is None:
@@ -229,7 +296,7 @@ def make_vanka_mg_preconditioner(
     mg = make_coupled_vanka_mg(
         eta_s, eta_n, grid, bcs, kcont, kbnd,
         levels=levels, pre_smooth=pre_smooth, post_smooth=post_smooth,
-        coarse_sweeps=coarse_sweeps, omega=omega,
+        coarse_sweeps=coarse_sweeps, alpha=alpha,
     )
 
     def M(r):
