@@ -56,6 +56,11 @@ class SolverConfig:
     # viscosity jumps where the plain cycle diverges.
     mg_scaled_transfers: bool = False
     mg_ls_damp: bool = False
+    # Multi-chip: replicate MG levels whose smaller extent is <= this many
+    # cells across the device mesh (one all-gather per V-cycle) instead of
+    # leaving them domain-decomposed and ICI-latency-bound.  Takes effect
+    # only when make_step receives a mesh.  0 = off.
+    mg_coarse_replicate: int = 0
     # Fused Pallas stencil kernel in the MG smoother.  Measured on v5e at
     # 1024^2: 0.651 s/step vs 0.627 s/step for the XLA-fused jnp path — XLA
     # already fuses this stencil well, so the kernel is off by default and
@@ -63,6 +68,10 @@ class SolverConfig:
     use_pallas: bool = False
     energy_tol: float = 1e-10
     energy_maxiter: int = 2000
+    # "jacobi" is optimal while rho*Cp/dt dominates (transient steps);
+    # "mg" keeps CG iteration counts mesh-independent when diffusion
+    # dominates (steady/large-dt problems) — solvers/energy_mg.py.
+    energy_preconditioner: str = "jacobi"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -87,7 +87,8 @@ class StepPhases(NamedTuple):
     timestep: Callable  # (vx, vy, k_m, rhocp_m) -> dt
 
 
-def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
+def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable,
+                     mesh=None):
     phys = cfg.physics
     solver = cfg.solver
     tc = cfg.time
@@ -111,6 +112,8 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             use_pallas=solver.use_pallas,
             scaled_transfers=solver.mg_scaled_transfers,
             ls_damp=solver.mg_ls_damp,
+            mesh=mesh,
+            coarse_replicate=solver.mg_coarse_replicate,
         )
     elif solver.preconditioner == "vanka":
         from pylamp_tpu.solvers.vanka import make_vanka_mg_preconditioner
@@ -258,6 +261,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 tol=solver.energy_tol,
                 maxiter=solver.energy_maxiter,
                 k_avg=phys.k_face_avg,
+                preconditioner=solver.energy_preconditioner,
             )
         else:
             esol = solve_energy(
@@ -265,6 +269,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 tol=solver.energy_tol,
                 maxiter=solver.energy_maxiter,
                 k_avg=phys.k_face_avg,
+                preconditioner=solver.energy_preconditioner,
             )
         T_new = esol.T.astype(dtype)
 
@@ -337,9 +342,13 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
     return StepPhases(interp, stokes, energy, advect, timestep)
 
 
-def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable):
-    """The fused production step: all phases traced into one function."""
-    ph = make_step_phases(grid, cfg, table)
+def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable,
+              mesh=None):
+    """The fused production step: all phases traced into one function.
+
+    ``mesh``: the jax.sharding.Mesh of a domain-decomposed run; enables
+    the mesh-aware solver options (MG coarse-level replication)."""
+    ph = make_step_phases(grid, cfg, table, mesh=mesh)
 
     def step(state: ModelState) -> Tuple[ModelState, Dict[str, Any]]:
         io = ph.interp(state)

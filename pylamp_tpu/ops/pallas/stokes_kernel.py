@@ -24,8 +24,6 @@ f32 inner solves of the mixed-precision scheme).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -36,93 +34,115 @@ from pylamp_tpu.core.bc import VelocityBCs
 from pylamp_tpu.core.grid import StaggeredGrid
 
 
-def _kernel(vxg_hbm, vyg2_hbm, esp_hbm, enp_hbm, rx_ref, ry_ref, *, br, grid, kbnd_s):
+def _kernel(vxg_hbm, vyg2_hbm, esp_hbm, enp_hbm, rx_ref, ry_ref,
+            vxg_b2, vyg2_b2, esp_b2, enp_b2, sems, *, br, grid, kbnd_s):
     ny, nx = grid.ny, grid.nx
     dx = grid.dx
     dy = grid.dy
-    r0 = pl.program_id(0) * br
-
-    def body(vxg_b, vyg2_b, esp_b, enp_b, sem0, sem1, sem2, sem3):
-        # Manual HBM->VMEM DMAs must be tile-aligned: (8-row, 128-lane)
-        # slices for f32.  The host pre-pads every array to (ny+8, W128);
-        # the kernel reads only the leading (br+2, true-width) window.
-        copies = (
-            pltpu.make_async_copy(vxg_hbm.at[pl.ds(r0, br + 8)], vxg_b, sem0),
-            pltpu.make_async_copy(vyg2_hbm.at[pl.ds(r0, br + 8)], vyg2_b, sem1),
-            pltpu.make_async_copy(esp_hbm.at[pl.ds(r0, br + 8)], esp_b, sem2),
-            pltpu.make_async_copy(enp_hbm.at[pl.ds(r0, br + 8)], enp_b, sem3),
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    r0 = i * br
+    # Manual HBM->VMEM DMAs must be tile-aligned: (8-row, 128-lane)
+    # slices for f32.  The host pre-pads every array to (ny+8, W128);
+    # the kernel reads only the leading (br+2, true-width) window.
+    #
+    # Double buffering: VMEM scratch persists across the (sequential)
+    # TPU grid steps, so program i prefetches block i+1's four DMAs
+    # into the other slot while computing on block i — the HBM streams
+    # overlap the stencil arithmetic instead of serializing before it
+    # (the round-1 kernel's start-all/wait-all lost its A/B to XLA
+    # exactly here).
+    def dmas(slot, blk):
+        row = blk * br
+        return (
+            pltpu.make_async_copy(
+                vxg_hbm.at[pl.ds(row, br + 8)], vxg_b2.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                vyg2_hbm.at[pl.ds(row, br + 8)], vyg2_b2.at[slot], sems.at[slot, 1]
+            ),
+            pltpu.make_async_copy(
+                esp_hbm.at[pl.ds(row, br + 8)], esp_b2.at[slot], sems.at[slot, 2]
+            ),
+            pltpu.make_async_copy(
+                enp_hbm.at[pl.ds(row, br + 8)], enp_b2.at[slot], sems.at[slot, 3]
+            ),
         )
-        for c in copies:
+
+    # int32 literals: program_id is i32 and x64 mode promotes bare python
+    # ints to i64, which Mosaic rejects
+    one, two = jnp.int32(1), jnp.int32(2)
+    slot = lax.rem(i, two)
+    nslot = lax.rem(i + one, two)
+
+    @pl.when(i == 0)
+    def _():
+        for c in dmas(slot, i):
             c.start()
-        for c in copies:
-            c.wait()
-        vxg = vxg_b[:, : nx + 1]
-        vyg2 = vyg2_b[:, : nx + 2]
-        esp = esp_b[:, : nx + 1]
-        enp = enp_b[:, :nx]
 
-        # Local row indexing (block-relative):
-        #   vxg[k]  = global vx ghost row r0 + k          (vx row j -> k = j - r0 + 1)
-        #   vyg2[k] = global vy ghost row r0 + k - 1      (vy row j -> k = j - r0 + 1)
-        #   esp[k]  = eta_s row r0 + k                    (row J  -> k = J - r0)
-        #   enp[k]  = eta_n row r0 + k - 1                (row j  -> k = j - r0 + 1)
+    @pl.when(i + one < nb)
+    def _():
+        for c in dmas(nslot, i + one):
+            c.start()
 
-        # sxy on corner rows J = r0 .. r0+br  (local esp rows 0..br):
-        #   sxy[J] = es[J] * ((vxg[J+1] - vxg[J])/dy + (vyg[:,1:] - vyg[:,:-1])/dx)
-        # with vxg local k = J - r0 (+1 for J+1), vyg row J -> vyg2 local J - r0 + 1.
-        vx_lo = vxg[0 : br + 1, :]
-        vx_hi = vxg[1 : br + 2, :]
-        vy_mid = vyg2[1 : br + 2, :]
-        sxy = esp[0 : br + 1, :] * (
-            (vx_hi - vx_lo) / dy + (vy_mid[:, 1:] - vy_mid[:, :-1]) / dx
-        )  # rows J = r0 .. r0+br  -> (br+1, nx+1)
+    for c in dmas(slot, i):
+        c.wait()
 
-        # sxx on vx rows j = r0 .. r0+br-1 (cell rows): vx row j -> vxg k = j-r0+1
-        vx_c = vxg[1 : br + 1, :]  # (br, nx+1)
-        en_c = enp[1 : br + 1, :]  # eta_n rows j  -> (br, nx)
-        sxx = 2.0 * en_c * (vx_c[:, 1:] - vx_c[:, :-1]) / dx  # (br, nx)
+    vxg = vxg_b2[slot, :, : nx + 1]
+    vyg2 = vyg2_b2[slot, :, : nx + 2]
+    esp = esp_b2[slot, :, : nx + 1]
+    enp = enp_b2[slot, :, :nx]
 
-        # rx rows j = r0 .. r0+br-1
-        rx_int = (
-            -(sxx[:, 1:] - sxx[:, :-1]) / dx
-            - (sxy[1 : br + 1, 1:-1] - sxy[0:br, 1:-1]) / dy
-        )  # (br, nx-1)
-        kb = kbnd_s[0]
-        rx = jnp.concatenate(
-            [kb * vx_c[:, :1], rx_int, kb * vx_c[:, -1:]], axis=1
-        )
-        rx_ref[:, :] = rx
+    # Local row indexing (block-relative):
+    #   vxg[k]  = global vx ghost row r0 + k          (vx row j -> k = j - r0 + 1)
+    #   vyg2[k] = global vy ghost row r0 + k - 1      (vy row j -> k = j - r0 + 1)
+    #   esp[k]  = eta_s row r0 + k                    (row J  -> k = J - r0)
+    #   enp[k]  = eta_n row r0 + k - 1                (row j  -> k = j - r0 + 1)
 
-        # syy on cell rows j = r0-1 .. r0+br-1 (needed for ry rows r0..r0+br-1):
-        #   syy[j] = 2 en[j] * (vy[j+1] - vy[j])/dy ; vy row j -> vyg2 k = j-r0+1
-        vy_all = vyg2[:, 1:-1]  # strip ghost cols -> vy rows r0-1 .. r0+br
-        syy = 2.0 * enp[0 : br + 1, :] * (vy_all[1 : br + 2, :] - vy_all[0 : br + 1, :]) / dy
-        # rows j = r0-1 .. r0+br-1 -> (br+1, nx)
+    # sxy on corner rows J = r0 .. r0+br  (local esp rows 0..br):
+    #   sxy[J] = es[J] * ((vxg[J+1] - vxg[J])/dy + (vyg[:,1:] - vyg[:,:-1])/dx)
+    # with vxg local k = J - r0 (+1 for J+1), vyg row J -> vyg2 local J - r0 + 1.
+    vx_lo = vxg[0 : br + 1, :]
+    vx_hi = vxg[1 : br + 2, :]
+    vy_mid = vyg2[1 : br + 2, :]
+    sxy = esp[0 : br + 1, :] * (
+        (vx_hi - vx_lo) / dy + (vy_mid[:, 1:] - vy_mid[:, :-1]) / dx
+    )  # rows J = r0 .. r0+br  -> (br+1, nx+1)
 
-        # ry rows j = r0 .. r0+br-1: -(syy[j]-syy[j-1])/dy - (sxy[j,i+1]-sxy[j,i])/dx
-        sxy_row = sxy[0:br, :]  # corner rows J = r0 .. r0+br-1
-        ry_all = (
-            -(syy[1 : br + 1, :] - syy[0:br, :]) / dy
-            - (sxy_row[:, 1:] - sxy_row[:, :-1]) / dx
-        )  # (br, nx)
-        # Dirichlet row j == 0 (the j == ny row is appended outside the
-        # kernel: the blocked output covers vy rows 0 .. ny-1 only)
-        grow = r0 + lax.broadcasted_iota(jnp.int32, (br, nx), 0)
-        vy_c = vy_all[1 : br + 1, :]  # vy rows r0 .. r0+br-1
-        ry_ref[:, :] = jnp.where(grow == 0, kb * vy_c, ry_all)
+    # sxx on vx rows j = r0 .. r0+br-1 (cell rows): vx row j -> vxg k = j-r0+1
+    vx_c = vxg[1 : br + 1, :]  # (br, nx+1)
+    en_c = enp[1 : br + 1, :]  # eta_n rows j  -> (br, nx)
+    sxx = 2.0 * en_c * (vx_c[:, 1:] - vx_c[:, :-1]) / dx  # (br, nx)
 
-    w128 = -(-(grid.nx + 2) // 128) * 128
-    pl.run_scoped(
-        body,
-        pltpu.VMEM((br + 8, w128), jnp.float32),
-        pltpu.VMEM((br + 8, w128), jnp.float32),
-        pltpu.VMEM((br + 8, w128), jnp.float32),
-        pltpu.VMEM((br + 8, w128), jnp.float32),
-        pltpu.SemaphoreType.DMA,
-        pltpu.SemaphoreType.DMA,
-        pltpu.SemaphoreType.DMA,
-        pltpu.SemaphoreType.DMA,
+    # rx rows j = r0 .. r0+br-1
+    rx_int = (
+        -(sxx[:, 1:] - sxx[:, :-1]) / dx
+        - (sxy[1 : br + 1, 1:-1] - sxy[0:br, 1:-1]) / dy
+    )  # (br, nx-1)
+    kb = kbnd_s[0]
+    rx = jnp.concatenate(
+        [kb * vx_c[:, :1], rx_int, kb * vx_c[:, -1:]], axis=1
     )
+    rx_ref[:, :] = rx
+
+    # syy on cell rows j = r0-1 .. r0+br-1 (needed for ry rows r0..r0+br-1):
+    #   syy[j] = 2 en[j] * (vy[j+1] - vy[j])/dy ; vy row j -> vyg2 k = j-r0+1
+    vy_all = vyg2[:, 1:-1]  # strip ghost cols -> vy rows r0-1 .. r0+br
+    syy = 2.0 * enp[0 : br + 1, :] * (vy_all[1 : br + 2, :] - vy_all[0 : br + 1, :]) / dy
+    # rows j = r0-1 .. r0+br-1 -> (br+1, nx)
+
+    # ry rows j = r0 .. r0+br-1: -(syy[j]-syy[j-1])/dy - (sxy[j,i+1]-sxy[j,i])/dx
+    sxy_row = sxy[0:br, :]  # corner rows J = r0 .. r0+br-1
+    ry_all = (
+        -(syy[1 : br + 1, :] - syy[0:br, :]) / dy
+        - (sxy_row[:, 1:] - sxy_row[:, :-1]) / dx
+    )  # (br, nx)
+    # Dirichlet row j == 0 (the j == ny row is appended outside the
+    # kernel: the blocked output covers vy rows 0 .. ny-1 only)
+    grow = r0 + lax.broadcasted_iota(jnp.int32, (br, nx), 0)
+    vy_c = vy_all[1 : br + 1, :]  # vy rows r0 .. r0+br-1
+    ry_ref[:, :] = jnp.where(grow == 0, kb * vy_c, ry_all)
+
 
 
 def momentum_apply_pallas(
@@ -158,7 +178,6 @@ def momentum_apply_pallas(
 
     kbnd_s = jnp.asarray([kbnd], f32)
 
-    kernel = functools.partial(_kernel, br=br, grid=grid, kbnd_s=None)
 
     # kbnd enters as a scalar-prefetch argument
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -176,10 +195,20 @@ def momentum_apply_pallas(
             pl.BlockSpec((br, nx + 1), lambda i, *_: (i, i * 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((br, nx), lambda i, *_: (i, i * 0), memory_space=pltpu.VMEM),
         ],
+        # grid-persistent double buffers: program i prefetches block i+1
+        scratch_shapes=[
+            pltpu.VMEM((2, br + 8, w128), jnp.float32),
+            pltpu.VMEM((2, br + 8, w128), jnp.float32),
+            pltpu.VMEM((2, br + 8, w128), jnp.float32),
+            pltpu.VMEM((2, br + 8, w128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
     )
 
-    def kernel_fn(kbnd_ref, vxg_h, vyg2_h, esp_h, enp_h, rx_ref, ry_ref):
+    def kernel_fn(kbnd_ref, vxg_h, vyg2_h, esp_h, enp_h, rx_ref, ry_ref,
+                  vxg_b2, vyg2_b2, esp_b2, enp_b2, sems):
         _kernel(vxg_h, vyg2_h, esp_h, enp_h, rx_ref, ry_ref,
+                vxg_b2, vyg2_b2, esp_b2, enp_b2, sems,
                 br=br, grid=grid, kbnd_s=kbnd_ref)
 
     rx, ry_main = pl.pallas_call(

@@ -1,0 +1,151 @@
+"""Geometric multigrid preconditioner for the energy (heat) equation.
+
+The Jacobi-CG energy solve (solvers/energy_solver.py) is fine while the
+rho*Cp/dt mass term dominates, but its iteration count grows with grid
+size once diffusion dominates (steady/large-dt problems) — the classic
+mesh-dependence of single-level methods (SURVEY.md §3.5 asks for the
+spsolve replacement to be mesh-independent like the momentum solve).
+
+Vertex-centered GMG on the corner lattice: coarse nodes coincide with
+even fine nodes, bilinear prolongation, full-weighting restriction
+(P^T/4), rediscretized coarse operators with node-sampled coefficients,
+Chebyshev-Jacobi smoothing (the same smoothing machinery that mg.py uses
+for the momentum block).  Everything is static-shaped slicing — XLA fuses
+each level into a few HBM passes and GSPMD shards it like any other field.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pylamp_tpu.core.bc import ThermalBCs
+from pylamp_tpu.core.grid import StaggeredGrid
+from pylamp_tpu.ops.energy import _dirichlet_masks, energy_operator
+
+
+def _num_levels(grid: StaggeredGrid, requested: int = 0, min_cells: int = 4) -> int:
+    n = 1
+    nx, ny = grid.nx, grid.ny
+    while nx % 2 == 0 and ny % 2 == 0 and min(nx, ny) > min_cells:
+        nx //= 2
+        ny //= 2
+        n += 1
+    if requested > 0:
+        n = min(n, requested)
+    return n
+
+
+def _interleave_rows(a, b):
+    """rows [a0, b0, a1, b1, ..., a_{n-1}]; a: (n, m), b: (n-1, m)."""
+    n, m = a.shape
+    out = jnp.zeros((2 * n - 1, m), a.dtype)
+    return out.at[0::2, :].set(a).at[1::2, :].set(b)
+
+
+def prolong_corner(c):
+    """Bilinear prolongation on the corner lattice: coarse (NY+1, NX+1) ->
+    fine (2NY+1, 2NX+1), coincident at even fine nodes."""
+    mid_r = 0.5 * (c[:-1, :] + c[1:, :])
+    e = _interleave_rows(c, mid_r)  # (2NY+1, NX+1)
+    mid_c = 0.5 * (e[:, :-1] + e[:, 1:])
+    return _interleave_rows(e.T, mid_c.T).T  # (2NY+1, 2NX+1)
+
+
+def restrict_corner(f):
+    """Full weighting (P^T/4): fine (2NY+1, 2NX+1) -> coarse (NY+1, NX+1).
+    Boundary rows use the truncated stencil (exact adjoint of the
+    prolongation above)."""
+    fp = jnp.pad(f, 1)
+    # x then y: coarse col I <- 0.5 f[2I-1] + f[2I] + 0.5 f[2I+1]
+    g = 0.5 * fp[1:-1, 0:-2:2] + fp[1:-1, 1:-1:2] + 0.5 * fp[1:-1, 2::2]
+    gp = jnp.pad(g, ((1, 1), (0, 0)))
+    c = 0.5 * gp[0:-2:2, :] + gp[1:-1:2, :] + 0.5 * gp[2::2, :]
+    return c / 4.0
+
+
+def _power_lambda_max(apply_binv_a, shape, dtype, iters: int = 12):
+    n = shape[0] * shape[1]
+    v = ((jnp.arange(n, dtype=dtype) * 0.754877666 + 0.1) % 1.0 - 0.5).reshape(shape)
+    lam = jnp.asarray(1.0, dtype)
+    for _ in range(iters):
+        v = v / jnp.sqrt(jnp.vdot(v, v))
+        w = apply_binv_a(v)
+        lam = jnp.vdot(v, w)
+        v = w
+    return jnp.abs(lam)
+
+
+def make_energy_mg_preconditioner(
+    k,
+    rhocp_over_dt,
+    grid: StaggeredGrid,
+    bcs: ThermalBCs,
+    kbnd,
+    k_avg: str = "arithmetic",
+    levels: int = 0,
+    pre_smooth: int = 2,
+    post_smooth: int = 2,
+    coarse_iters: int = 16,
+):
+    """Returns M(r) -> z: one V-cycle on the energy operator from a zero
+    initial guess (an SPD-ish preconditioner for CG)."""
+    from pylamp_tpu.solvers.energy_solver import energy_diagonal
+
+    nlev = _num_levels(grid, levels)
+    dtype = k.dtype
+
+    grids = [grid]
+    coeffs = [(k, rhocp_over_dt)]
+    for _ in range(nlev - 1):
+        g = grids[-1]
+        grids.append(StaggeredGrid(nx=g.nx // 2, ny=g.ny // 2, lx=g.lx, ly=g.ly))
+        kl, rl = coeffs[-1]
+        # corner nodes coincide: sample coefficients at the surviving nodes
+        coeffs.append((kl[::2, ::2], rl[::2, ::2]))
+    kbnds = [kbnd * (grids[0].dx / g.dx) ** 2 for g in grids]
+    diags = [
+        energy_diagonal(kl, rl, g, bcs, kb, k_avg)
+        for (kl, rl), g, kb in zip(coeffs, grids, kbnds)
+    ]
+    masks = [_dirichlet_masks(g, bcs, dtype)[0] for g in grids]
+
+    def apply_l(l, T):
+        kl, rl = coeffs[l]
+        return energy_operator(T, kl, rl, grids[l], bcs, kbnd=kbnds[l], k_avg=k_avg)
+
+    lam = [
+        1.1
+        * _power_lambda_max(
+            (lambda v, l=l: apply_l(l, v) / diags[l]), grids[l].shape_corner, dtype
+        )
+        for l in range(nlev)
+    ]
+
+    def smooth(l, x, b, iters):
+        d = diags[l]
+        lmax = lam[l]
+        lmin = lmax / 4.0
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        s1 = theta / delta
+        dx_ = (b - apply_l(l, x)) / d / theta
+        x = x + dx_
+        ro = 1.0 / s1
+        for _ in range(iters - 1):
+            rho = 1.0 / (2.0 * s1 - ro)
+            dx_ = rho * ro * dx_ + (2.0 * rho / delta) * (b - apply_l(l, x)) / d
+            x = x + dx_
+            ro = rho
+        return x
+
+    def vcycle(l, b):
+        if l == nlev - 1:
+            return smooth(l, jnp.zeros_like(b), b, coarse_iters)
+        x = smooth(l, jnp.zeros_like(b), b, pre_smooth)
+        r = b - apply_l(l, x)
+        # Dirichlet rows belong to the smoother on each level
+        rc = restrict_corner(jnp.where(masks[l], 0.0, r))
+        ec = vcycle(l + 1, jnp.where(masks[l + 1], 0.0, rc))
+        x = x + jnp.where(masks[l], 0.0, prolong_corner(ec))
+        return smooth(l, x, b, post_smooth)
+
+    return lambda r: vcycle(0, r)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from pylamp_tpu.core.bc import ThermalBCs
 from pylamp_tpu.core.grid import StaggeredGrid
 from pylamp_tpu.ops.energy import _dirichlet_masks, _face_k, energy_operator, energy_rhs
-from pylamp_tpu.solvers.krylov import SolveInfo, cg
+from pylamp_tpu.solvers.krylov import SolveInfo, cg, fcg
 
 
 class EnergySolution(NamedTuple):
@@ -45,6 +45,7 @@ def solve_energy(
     tol: float = 1e-10,
     maxiter: int = 2000,
     k_avg: str = "arithmetic",
+    preconditioner: str = "jacobi",
 ) -> EnergySolution:
     kbnd = jnp.mean(rhocp_over_dt) + 4.0 * jnp.mean(k) / min(grid.dx, grid.dy) ** 2
 
@@ -52,10 +53,25 @@ def solve_energy(
         return energy_operator(T, k, rhocp_over_dt, grid, bcs, kbnd=kbnd, k_avg=k_avg)
 
     b = energy_rhs(T_old, k, rhocp_over_dt, H, grid, bcs, kbnd=kbnd, k_avg=k_avg)
-    diag = energy_diagonal(k, rhocp_over_dt, grid, bcs, kbnd, k_avg)
+    M = _make_M(k, rhocp_over_dt, grid, bcs, kbnd, k_avg, preconditioner)
 
-    T, info = cg(op, b, T_old, M=lambda r: r / diag, tol=tol, maxiter=maxiter)
+    # the MG V-cycle is only approximately SPD -> flexible CG (krylov.fcg)
+    solve = cg if preconditioner == "jacobi" else fcg
+    T, info = solve(op, b, T_old, M=M, tol=tol, maxiter=maxiter)
     return EnergySolution(T, info)
+
+
+def _make_M(k, rhocp_over_dt, grid, bcs, kbnd, k_avg, preconditioner: str):
+    if preconditioner == "mg":
+        from pylamp_tpu.solvers.energy_mg import make_energy_mg_preconditioner
+
+        return make_energy_mg_preconditioner(
+            k, rhocp_over_dt, grid, bcs, kbnd, k_avg=k_avg
+        )
+    if preconditioner != "jacobi":
+        raise ValueError(f"unknown energy preconditioner {preconditioner!r}")
+    diag = energy_diagonal(k, rhocp_over_dt, grid, bcs, kbnd, k_avg)
+    return lambda r: r / diag
 
 
 def solve_energy_mixed(
@@ -70,6 +86,7 @@ def solve_energy_mixed(
     maxiter: int = 500,
     max_refinements: int = 5,
     k_avg: str = "arithmetic",
+    preconditioner: str = "jacobi",
 ) -> EnergySolution:
     """f32 CG inner solves inside f64 iterative refinement (see
     solvers/refine.py)."""
@@ -94,11 +111,12 @@ def solve_energy_mixed(
     def op32(T):
         return energy_operator(T, k32, rc32, grid, bcs, kbnd=kbnd32, k_avg=k_avg)
 
-    diag32 = energy_diagonal(k32, rc32, grid, bcs, kbnd32, k_avg)
+    M32 = _make_M(k32, rc32, grid, bcs, kbnd32, k_avg, preconditioner)
+    solve32 = cg if preconditioner == "jacobi" else fcg
 
     def inner_solve(r32):
-        return cg(
-            op32, r32, jnp.zeros_like(r32), M=lambda r: r / diag32,
+        return solve32(
+            op32, r32, jnp.zeros_like(r32), M=M32,
             tol=inner_tol, maxiter=maxiter,
         )
 

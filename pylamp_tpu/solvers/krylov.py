@@ -102,6 +102,55 @@ def cg(
     return x, SolveInfo(k, res, res <= target, bnorm)
 
 
+def fcg(
+    op: Callable,
+    b,
+    x0,
+    M: Callable | None = None,
+    tol: float = 1e-8,
+    atol: float = 0.0,
+    maxiter: int = 1000,
+):
+    """Flexible preconditioned CG (Polak-Ribiere beta; Notay 2000).
+
+    Use instead of ``cg`` when the preconditioner is only approximately
+    SPD — e.g. a multigrid V-cycle, whose Chebyshev smoothing + masked
+    Dirichlet transfers are not an exact ell2-symmetric operator.  Standard
+    CG's Fletcher-Reeves beta silently loses conjugacy against such an M
+    (measured on the energy MG: 735 iterations where this method needs
+    ~15); the flexible beta re-orthogonalizes against the previous
+    direction only, which is robust to the asymmetry at the cost of one
+    extra stored pytree."""
+    M = M or _identity
+    bnorm = tnorm(b)
+    target = jnp.maximum(tol * bnorm, atol)
+
+    r0 = tsub(b, op(x0))
+    z0 = M(r0)
+    rz0 = tdot(r0, z0)
+
+    def cond(state):
+        _, r, *_, k = state
+        return jnp.logical_and(tnorm(r) > target, k < maxiter)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = op(p)
+        alpha = rz / tdot(p, Ap)
+        x = taxpy(alpha, p, x)
+        r_new = taxpy(-alpha, Ap, r)
+        z_new = M(r_new)
+        # Polak-Ribiere: beta = <r_new, z_new - z> / <r, z>
+        beta = (tdot(r_new, z_new) - tdot(r_new, z)) / rz
+        rz_new = tdot(r_new, z_new)
+        p = taxpy(beta, p, z_new)
+        return x, r_new, z_new, p, rz_new, k + 1
+
+    x, r, _, _, _, k = lax.while_loop(cond, body, (x0, r0, z0, z0, rz0, jnp.array(0)))
+    res = tnorm(r)
+    return x, SolveInfo(k, res, res <= target, bnorm)
+
+
 # -- FGMRES(m) ----------------------------------------------------------------
 
 def _stack_like(x, m):

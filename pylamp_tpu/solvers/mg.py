@@ -228,6 +228,8 @@ def make_velocity_mg(
     use_pallas: bool = True,
     scaled_transfers: bool = False,
     ls_damp: bool = False,
+    mesh=None,
+    coarse_replicate: int = 0,
 ):
     """Returns mg(rx, ry) -> (zx, zy): `cycles` handled by the caller.
 
@@ -251,6 +253,15 @@ def make_velocity_mg(
       every coarse correction monotone in the level residual norm whatever
       the coarse operator quality.  Costs one extra operator apply per
       level.
+
+    Multi-chip coarse-level strategy (SURVEY.md §5 "long-context" row):
+    with ``mesh`` set and ``coarse_replicate`` > 0, every level whose
+    smaller extent is <= ``coarse_replicate`` cells is REPLICATED across
+    the mesh (one all-gather at the restriction into that level) instead of
+    staying domain-decomposed — an 8x8 grid sharded over 8 chips would
+    otherwise serialize each smoother sweep on ICI latency.  The levels
+    above it stay sharded; GSPMD re-propagates the decomposed layout after
+    the prolongation back out of the replicated sub-hierarchy.
     """
     nlev = num_levels(grid, levels)
     dtype = eta_n.dtype
@@ -274,6 +285,25 @@ def make_velocity_mg(
         if scaled_transfers
         else None
     )
+
+    if mesh is not None and coarse_replicate > 0:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _replicated = NamedSharding(mesh, PartitionSpec())
+
+        def _constrain(l, *arrays):
+            """All-gather into the replicated sub-hierarchy at level l."""
+            if min(grids[l].nx, grids[l].ny) <= coarse_replicate:
+                import jax as _jax
+
+                return tuple(
+                    _jax.lax.with_sharding_constraint(a, _replicated)
+                    for a in arrays
+                )
+            return arrays
+    else:
+        def _constrain(l, *arrays):
+            return arrays
 
     lam_max = []
     if smoother == "chebyshev":
@@ -346,12 +376,14 @@ def make_velocity_mg(
             scx, scy = scales[l + 1]
             rcx = scx * restrict_vx(rfx / sfx, bcs)
             rcy = scy * restrict_vy(rfy / sfy, bcs)
+            rcx, rcy = _constrain(l + 1, rcx, rcy)
             ecx, ecy = vcycle(l + 1, rcx, rcy)
             pex = prolong_vx(scx * ecx, bcs) / sfx
             pey = prolong_vy(scy * ecy, bcs) / sfy
         else:
             rcx = restrict_vx(rfx, bcs)
             rcy = restrict_vy(rfy, bcs)
+            rcx, rcy = _constrain(l + 1, rcx, rcy)
             ecx, ecy = vcycle(l + 1, rcx, rcy)
             pex = prolong_vx(ecx, bcs)
             pey = prolong_vy(ecy, bcs)
@@ -400,6 +432,8 @@ def make_mg_preconditioner(
     use_pallas: bool = True,
     scaled_transfers: bool = False,
     ls_damp: bool = False,
+    mesh=None,
+    coarse_replicate: int = 0,
 ):
     """Block upper-triangular preconditioner for the full Stokes system."""
     if bcs is None:
@@ -409,6 +443,7 @@ def make_mg_preconditioner(
         levels=levels, pre_smooth=pre_smooth, post_smooth=post_smooth, omega=omega,
         smoother=smoother, use_pallas=use_pallas,
         scaled_transfers=scaled_transfers, ls_damp=ls_damp,
+        mesh=mesh, coarse_replicate=coarse_replicate,
     )
     dtype = eta_n.dtype
 

@@ -49,3 +49,42 @@ def test_dryrun_multichip():
     from pylamp_tpu.parallel.dryrun import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_sticky_air_with_coarse_replication():
+    """Sharp-contrast (sticky-air) config, sharded, with MG coarse-level
+    replication active (SURVEY.md §5 long-context row): must converge and
+    match the single-device run."""
+    from pylamp_tpu.models.benchmarks import sticky_air
+
+    cfg = sticky_air(nx=64, ny=32, max_steps=1)
+    cfg = dataclasses.replace(
+        cfg,
+        solver=SolverConfig(
+            precision="f64",
+            stokes_tol=1e-8,
+            stokes_restart=60,
+            stokes_maxiter=2000,
+            mg_coarse_replicate=8,
+        ),
+    )
+    grid, table, state0 = build(cfg)
+    mesh = make_mesh(8)
+
+    s1, d1 = jax.jit(make_step(grid, cfg, table))(state0)
+
+    step = make_step(grid, cfg, table, mesh=mesh)
+    sharded = shard_state(state0, mesh)
+    shardings = state_shardings(mesh, state0)
+    s8, d8 = jax.jit(step, in_shardings=(shardings,))(sharded)
+
+    assert bool(d8["stokes_converged"]), int(d8["stokes_iterations"])
+    vref = max(float(jnp.max(jnp.abs(s1.vy))), 1e-30)
+    np.testing.assert_allclose(
+        np.asarray(s8.vx), np.asarray(s1.vx), atol=1e-6 * vref
+    )
+    np.testing.assert_allclose(
+        np.asarray(s8.vy), np.asarray(s1.vy), atol=1e-6 * vref
+    )
