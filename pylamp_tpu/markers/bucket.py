@@ -18,7 +18,10 @@ Key facts the design rests on:
 - with Courant <= 1 a marker moves at most one cell per step, so
   re-bucketing only exchanges with the 3x3 cell neighborhood: one
   sequential pass over the 9K candidate slots re-packs every bucket with
-  one-hot inserts (dense fma over K lanes);
+  one-hot inserts (dense fma over K lanes).  Measured alternative (round
+  2): a sort-compaction rebucket (per-slab lax.sort + take_along_axis
+  merge) is bit-identical but 275x SLOWER on v5e — minor-axis gather is
+  the single most hostile op on TPU; keep rebucketing gather-free;
 - empty slots are masked by `valid`; per-cell capacity overflow drops the
   latest arrivals deterministically and is reported in diagnostics.
 """

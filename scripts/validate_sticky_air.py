@@ -59,7 +59,9 @@ def main(nx=512, ny=128, n_steps=80):
     cfg = sticky_air(nx=nx, ny=ny, max_steps=n_steps)
     cfg = dataclasses.replace(
         cfg,
-        solver=SolverConfig(stokes_tol=1e-8, stokes_restart=60, stokes_maxiter=400),
+        # maxiter bounds each f32 inner solve; the sharp initial interface
+        # at 1024x256 needs ~1.6k inner iterations per refinement pass
+        solver=SolverConfig(stokes_tol=1e-8, stokes_restart=60, stokes_maxiter=1600),
     )
     grid, table, state = build(cfg, dtype=jnp.float32)
     step = jax.jit(make_step(grid, cfg, table))
