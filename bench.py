@@ -53,7 +53,7 @@ def main():
         cfg,
         solver=SolverConfig(
             stokes_tol=args.tol,
-            stokes_restart=40,
+            stokes_restart=25,  # measured: 0.495 s/step vs 0.569 at 40 (1024^2)
             stokes_maxiter=250,
             energy_tol=1e-10,
         ),

@@ -159,13 +159,17 @@ def _pallas_eligible(grid: StaggeredGrid, dtype) -> bool:
     )
 
 
-def momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd, use_pallas=False):
+def momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd, use_pallas=False,
+                   eta_prepped=None):
     """Momentum-block application; dispatches to the fused Pallas kernel on
-    eligible TPU levels (ops/pallas/stokes_kernel.py)."""
+    eligible TPU levels (ops/pallas/stokes_kernel.py).  ``eta_prepped``
+    carries prep_eta_pallas output for solves that apply the operator many
+    times with frozen viscosity."""
     if use_pallas and _pallas_eligible(grid, vx.dtype):
         from pylamp_tpu.ops.pallas.stokes_kernel import momentum_apply_pallas
 
-        return momentum_apply_pallas(vx, vy, eta_s, eta_n, grid, bcs, kbnd)
+        return momentum_apply_pallas(vx, vy, eta_s, eta_n, grid, bcs, kbnd,
+                                     eta_prepped=eta_prepped)
     return _momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd)
 
 
@@ -286,6 +290,17 @@ def make_velocity_mg(
         else None
     )
 
+    # hoist the Pallas kernel's viscosity ghost/pad prep out of the hot
+    # applies: computed once per level per solve (prep_eta_pallas)
+    preps = [None] * nlev
+    if use_pallas:
+        from pylamp_tpu.ops.pallas.stokes_kernel import prep_eta_pallas
+
+        preps = [
+            prep_eta_pallas(es, en, g) if _pallas_eligible(g, dtype) else None
+            for (es, en), g in zip(etas, grids)
+        ]
+
     if mesh is not None and coarse_replicate > 0:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -313,7 +328,8 @@ def make_velocity_mg(
 
             def binv_a(vx, vy, l=l, es=es, en=en, dvx=dvx, dvy=dvy):
                 ax, ay = momentum_apply(vx, vy, es, en, grids[l], bcs, kbnds[l],
-                                        use_pallas=use_pallas)
+                                        use_pallas=use_pallas,
+                                        eta_prepped=preps[l])
                 return ax / dvx, ay / dvy
 
             lam = _power_lambda_max(
@@ -330,7 +346,8 @@ def make_velocity_mg(
         if smoother == "jacobi":
             for _ in range(iters):
                 ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
-                                        use_pallas=use_pallas)
+                                        use_pallas=use_pallas,
+                                        eta_prepped=preps[l])
                 ex = ex + omega * (rx - ax) / dvx
                 ey = ey + omega * (ry - ay) / dvy
             return ex, ey
@@ -343,7 +360,8 @@ def make_velocity_mg(
         delta = 0.5 * (lmax - lmin)
         sigma1 = theta / delta
 
-        ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb, use_pallas=use_pallas)
+        ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb, use_pallas=use_pallas,
+                                eta_prepped=preps[l])
         dx_ = (rx - ax) / dvx / theta
         dy_ = (ry - ay) / dvy / theta
         ex = ex + dx_
@@ -352,7 +370,8 @@ def make_velocity_mg(
         for _ in range(iters - 1):
             rho = 1.0 / (2.0 * sigma1 - rho_old)
             ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
-                                    use_pallas=use_pallas)
+                                    use_pallas=use_pallas,
+                                    eta_prepped=preps[l])
             dx_ = rho * rho_old * dx_ + (2.0 * rho / delta) * (rx - ax) / dvx
             dy_ = rho * rho_old * dy_ + (2.0 * rho / delta) * (ry - ay) / dvy
             ex = ex + dx_
@@ -369,7 +388,7 @@ def make_velocity_mg(
         ey = jnp.zeros_like(ry)
         ex, ey = smooth(l, ex, ey, rx, ry, pre_smooth)
         ax, ay = momentum_apply(ex, ey, *etas[l], grids[l], bcs, kbnds[l],
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, eta_prepped=preps[l])
         rfx, rfy = rx - ax, ry - ay
         if scaled_transfers:
             sfx, sfy = scales[l]
@@ -389,7 +408,8 @@ def make_velocity_mg(
             pey = prolong_vy(ecy, bcs)
         if ls_damp:
             aex, aey = momentum_apply(pex, pey, *etas[l], grids[l], bcs,
-                                      kbnds[l], use_pallas=use_pallas)
+                                      kbnds[l], use_pallas=use_pallas,
+                                      eta_prepped=preps[l])
             # alpha = <r, Ae>/<Ae, Ae>, computed on Ae/s with
             # s = max|Ae| so the squared sums cannot overflow f32 (momentum
             # entries reach ~1e15 at mantle viscosities; their squares do
