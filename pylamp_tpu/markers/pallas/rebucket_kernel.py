@@ -1,0 +1,223 @@
+"""Pallas TPU kernel: marker re-bucketing (the 3x3 one-hot repack).
+
+The XLA rebucket (markers/bucket.py) runs 9K sequential slot insertions,
+each a full-HBM pass over every (ny, nx, K) output array — ~107 ms/step at
+1024x256xK16 (measured v5e), ~20 GB of HBM traffic, all of it avoidable:
+the insertion state (outputs + per-cell counts) fits comfortably in VMEM
+for a row block.  This kernel is the marker-transfer native kernel the
+BASELINE north star prescribes (SURVEY.md §2.2):
+
+- arrays are transposed to slot-major (K, ny+2*PAD, nx) on the host (one
+  cheap relayout per rebucket), which makes every per-slot slab a
+  perfectly-tiled 2-D (rows, nx) plane — no 16-lane minor-dim geometry
+  anywhere inside the kernel;
+- each grid step DMAs ONE rank-3 window per array (all K slabs, br+2 halo
+  rows) into VMEM, runs the exact insertion order of the XLA loop
+  ((a, b) slab-major, slot-minor) on VMEM-resident state, and writes the
+  repacked block back with one rank-3 DMA per array;
+- insertion is branch-free VPU arithmetic on (br, nx) planes: take flags
+  from the candidate's target cell, `count == k` one-hot writes into the
+  k-th output slab.
+
+Result equality: slot-for-slot identical to markers/bucket.py `rebucket`
+(same insertion order, same overflow-drop rule) — asserted by
+tests/test_rebucket_kernel.py.  f32 positions/T, i32 mat, i32 valid.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pylamp_tpu.core.grid import StaggeredGrid
+
+PAD_TOP = 1   # one halo row above ...
+PAD_BOT = 15  # ... and enough below that every 16-row aligned window fits:
+# block i needs original rows [i*br-1, i*br+br], i.e. padded rows
+# [i*br, i*br+br+2) — an 8-aligned window start with a fixed 16-row read
+
+
+def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, ox, oy, oT, om, ov, oc,
+            xs, ys, Ts, ms, vs, sems, *, br, K, ny, nx, dx, dy):
+    """Grid dim 0 = row blocks.  Inputs stay in HBM (overlapping halo
+    windows are not expressible as BlockSpec blocks) and are DMA'd per
+    block into the (K, br+2*PAD, nx) scratch buffers; outputs are written
+    through non-overlapping (K, br, nx) VMEM blocks plus the (br, nx)
+    arrivals count."""
+    i = pl.program_id(0)
+    r0 = i * br  # first global row of this block
+
+    row0 = i * jnp.int32(br)
+    # i32 semaphore indices: bare python ints are i64 under x64, which
+    # Mosaic's memref slicing rejects
+    copies = [
+        pltpu.make_async_copy(
+            h.at[:, pl.ds(row0, br + PAD_TOP + 7), :], b,
+            sems.at[jnp.int32(n)]
+        )
+        for n, (h, b) in enumerate(
+            [(xs_h, xs), (ys_h, ys), (Ts_h, Ts), (ms_h, ms), (vs_h, vs)]
+        )
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    f32 = jnp.float32
+    i32 = jnp.int32
+    # keep the cell-size scalars f32: under jax_enable_x64 a bare python
+    # float promotes the position arithmetic to f64, whose f64->i32
+    # conversion recurses forever in Mosaic lowering
+    dxf = f32(dx)
+    dyf = f32(dy)
+
+    col = lax.broadcasted_iota(i32, (br, nx), 1)
+    row = r0 + lax.broadcasted_iota(i32, (br, nx), 0)
+
+    count = jnp.zeros((br, nx), i32)
+    ox[...] = jnp.zeros((K, br, nx), f32)
+    oy[...] = jnp.zeros((K, br, nx), f32)
+    oT[...] = jnp.zeros((K, br, nx), f32)
+    om[...] = jnp.zeros((K, br, nx), i32)
+    ov[...] = jnp.zeros((K, br, nx), i32)
+
+    def shift_x(p, b):
+        # lane-rotate + edge mask (Mosaic supports tpu.rotate; lane
+        # concatenation of mixed-offset vectors does not legalize)
+        if b == 0:
+            return p
+        r = jnp.roll(p, -b, axis=1)
+        if b > 0:  # source col i+b: wrapped tail lanes are out of range
+            return jnp.where(col < nx - b, r, jnp.zeros_like(r))
+        return jnp.where(col >= -b, r, jnp.zeros_like(r))
+
+    # Rolled loops: 9 static neighbor offsets x fori over K source slots x
+    # fori over K destination slots.  Fully unrolling all 9*K*K inner
+    # bodies (2916 at the production K=18) overflows the Python tracer and
+    # bloats the Mosaic program; dynamic leading-dim ref indexing keeps the
+    # rolled body legal.
+    for a in (-1, 0, 1):
+        for b in (-1, 0, 1):
+            r_lo = PAD_TOP + a  # local row of source row r0 + a
+
+            def sbody(s, count, a=a, b=b, r_lo=r_lo):
+                cx = shift_x(xs[s, r_lo : r_lo + br, :], b)
+                cy = shift_x(ys[s, r_lo : r_lo + br, :], b)
+                cT = shift_x(Ts[s, r_lo : r_lo + br, :], b)
+                cm = shift_x(ms[s, r_lo : r_lo + br, :], b)
+                cv = shift_x(vs[s, r_lo : r_lo + br, :], b)
+                # target cell of the candidate marker
+                # i32-typed bounds: python-int bounds promote the clip to
+                # i64 under jax_enable_x64, and Mosaic's i64 conversion
+                # helper recurses forever
+                ti = jnp.clip((cx / dxf).astype(i32), i32(0), i32(nx - 1))
+                tj = jnp.clip((cy / dyf).astype(i32), i32(0), i32(ny - 1))
+                take = (cv > i32(0)) & (tj == row) & (ti == col)
+                can = take & (count < i32(K))
+
+                # accumulate straight into the VMEM output blocks: keeping
+                # 5K live register planes instead blows the vector stack
+                # (measured 27M vs the 16M scoped-vmem limit)
+                def kbody(k, carry):
+                    hit = can & (count == k)
+                    ox[k] = jnp.where(hit, cx, ox[k])
+                    oy[k] = jnp.where(hit, cy, oy[k])
+                    oT[k] = jnp.where(hit, cT, oT[k])
+                    om[k] = jnp.where(hit, cm, om[k])
+                    ov[k] = jnp.where(hit, jnp.int32(1), ov[k])
+                    return carry
+
+                lax.fori_loop(i32(0), i32(K), kbody, i32(0))
+                return count + take.astype(i32)
+
+            count = lax.fori_loop(i32(0), i32(K), sbody, count)
+
+    oc[...] = count
+
+
+def rebucket_eligible(ny: int, nx: int, K: int, block_rows: int = 8) -> bool:
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return False
+    return (
+        nx % 128 == 0
+        and ny % block_rows == 0
+        and ny >= block_rows
+        and platform not in ("cpu", "gpu")
+    )
+
+
+def rebucket_pallas(bm, grid: StaggeredGrid, block_rows: int = 8,
+                    interpret: bool = False):
+    """Drop-in replacement for markers/bucket.py ``rebucket`` on eligible
+    shapes (nx % 128 == 0): returns (new_bm, dropped)."""
+    from pylamp_tpu.markers.bucket import BucketedMarkers
+
+    ny, nx, K = bm.x.shape
+    br = block_rows
+    f32, i32 = jnp.float32, jnp.int32
+
+    def prep(arr, dtype):
+        # (ny, nx, K) -> slot-major (K, PAD_TOP + ny + PAD_BOT, nx); pad
+        # rows are zeros = invalid markers, so halo reads take nothing
+        t = jnp.transpose(arr.astype(dtype), (2, 0, 1))
+        return jnp.pad(t, ((0, 0), (PAD_TOP, PAD_BOT), (0, 0)))
+
+    xs = prep(bm.x, f32)
+    ys = prep(bm.y, f32)
+    Ts = prep(bm.T, f32)
+    ms = prep(bm.mat, i32)
+    vs = prep(bm.valid, i32)
+
+    nb = ny // br
+    in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    out3 = pl.BlockSpec((K, br, nx), lambda i: (i * 0, i, i * 0),
+                        memory_space=pltpu.VMEM)
+    out2 = pl.BlockSpec((br, nx), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
+
+    import functools
+
+    kernel = functools.partial(
+        _kernel, br=br, K=K, ny=ny, nx=nx, dx=float(grid.dx), dy=float(grid.dy)
+    )
+    scratch = [
+        pltpu.VMEM((K, br + PAD_TOP + 7, nx), f32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, nx), f32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, nx), f32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, nx), i32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, nx), i32),
+        pltpu.SemaphoreType.DMA((5,)),
+    ]
+    ox, oy, oT, om, ov, oc = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[in_spec] * 5,
+        out_specs=[out3, out3, out3, out3, out3, out2],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, ny, nx), f32),
+            jax.ShapeDtypeStruct((K, ny, nx), f32),
+            jax.ShapeDtypeStruct((K, ny, nx), f32),
+            jax.ShapeDtypeStruct((K, ny, nx), i32),
+            jax.ShapeDtypeStruct((K, ny, nx), i32),
+            jax.ShapeDtypeStruct((ny, nx), i32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(xs, ys, Ts, ms, vs)
+
+    def unprep(t, dtype):
+        return jnp.transpose(t, (1, 2, 0)).astype(dtype)
+
+    new = BucketedMarkers(
+        x=unprep(ox, bm.x.dtype),
+        y=unprep(oy, bm.y.dtype),
+        T=unprep(oT, bm.T.dtype),
+        mat=unprep(om, bm.mat.dtype),
+        valid=unprep(ov, jnp.bool_),
+    )
+    dropped = jnp.sum(jnp.maximum(oc - K, 0))
+    return new, dropped

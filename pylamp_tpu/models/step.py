@@ -312,7 +312,20 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                           and not moving_walls) else 2
             markers = bucket_advect_rk4(markers, vx, vy, dt, grid, vbc,
                                         stage_reach=reach)
-            markers, dropped = rebucket(markers, grid)
+            # Pallas VMEM-resident repack where eligible: bit-identical to
+            # rebucket, measured 4.1x faster at 1024^2xK16 on v5e
+            # (markers/pallas/rebucket_kernel.py)
+            from pylamp_tpu.markers.pallas.rebucket_kernel import (
+                rebucket_eligible,
+                rebucket_pallas,
+            )
+
+            _ny, _nx, _K = markers.x.shape
+            if (markers.x.dtype == jnp.float32
+                    and rebucket_eligible(_ny, _nx, _K)):
+                markers, dropped = rebucket_pallas(markers, grid)
+            else:
+                markers, dropped = rebucket(markers, grid)
             diag["markers_dropped"] = dropped
             diag["marker_count"] = markers.total()
             if phys.reseed_min_per_cell > 0:
