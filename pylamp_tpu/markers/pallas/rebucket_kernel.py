@@ -143,10 +143,18 @@ def rebucket_eligible(ny: int, nx: int, K: int, block_rows: int = 8) -> bool:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
         return False
+    # VMEM budget: 5 input windows (K, br+8, nx) + 5 output blocks
+    # (K, br, nx) at 4 B each must fit the 16 MB scoped limit with
+    # headroom for temporaries (measured: K=18, nx=2048 wants 22.5 MB and
+    # fails to compile; K=18, nx=1024 fits).  Larger grids fall back to
+    # the XLA path until the kernel is 2-D blocked.
+    br = block_rows
+    vmem = 5 * K * (br + 8) * nx * 4 + 5 * K * br * nx * 4
     return (
         nx % 128 == 0
-        and ny % block_rows == 0
-        and ny >= block_rows
+        and ny % br == 0
+        and ny >= br
+        and vmem <= 12 * 1024 * 1024
         and platform not in ("cpu", "gpu")
     )
 

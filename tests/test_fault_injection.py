@@ -25,7 +25,7 @@ BASE = [
 ]
 
 
-def _run(args, timeout=900):
+def _run(args, timeout=2400):
     return subprocess.run(
         BASE + args, cwd=REPO, env=ENV, timeout=timeout,
         capture_output=True, text=True,
@@ -52,7 +52,7 @@ def test_kill_and_resume_matches_uninterrupted(tmp_path):
         cwd=REPO, env=ENV, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
     )
     ck = os.path.join(crash_dir, "checkpoint.npz")
-    deadline = time.time() + 600
+    deadline = time.time() + 1800
     killed = False
     while time.time() < deadline:
         if p.poll() is not None:
