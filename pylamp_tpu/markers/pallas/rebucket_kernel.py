@@ -145,9 +145,11 @@ def rebucket_eligible(ny: int, nx: int, K: int, block_rows: int = 8) -> bool:
         return False
     # VMEM budget: 5 input windows (K, br+8, nx) + 5 output blocks
     # (K, br, nx) at 4 B each must fit the 16 MB scoped limit with
-    # headroom for temporaries (measured: K=18, nx=2048 wants 22.5 MB and
-    # fails to compile; K=18, nx=1024 fits).  Larger grids fall back to
-    # the XLA path until the kernel is 2-D blocked.
+    # headroom for temporaries (measured: K=18 at nx=2048 wants 22.5 MB
+    # and fails Mosaic compile; K=18 at nx=1024 fits).  Grids beyond the
+    # budget fall back to the XLA repack — a 2-D column-blocked variant
+    # was measured 3.4x SLOWER at nx<=1024 (lane-misaligned halo slices),
+    # so full-width rows stay the layout of record.
     br = block_rows
     vmem = 5 * K * (br + 8) * nx * 4 + 5 * K * br * nx * 4
     return (
