@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--phase-steps", type=int, default=2,
                     help="extra per-phase-instrumented steps for the phase "
                          "breakdown (0 = skip)")
+    ap.add_argument("--scan", type=int, default=0,
+                    help="also time a lax.scan chunk of N steps (no host "
+                         "syncs between steps) and report its per-step time")
     args = ap.parse_args()
 
     from pylamp_tpu.models.benchmarks import fk_stagnant_lid
@@ -81,6 +84,21 @@ def main():
     times.sort()
     median = times[len(times) // 2]
 
+    # lax.scan multi-step: the production no-host-sync path; reported
+    # alongside the single-step median (which stays the headline so rounds
+    # remain comparable)
+    scan_per_step = None
+    if args.scan > 0:
+        from pylamp_tpu.models.step import make_multi_step
+
+        multi = jax.jit(make_multi_step(grid, cfg, table, args.scan))
+        state_s, _ = multi(state)  # compile + warm
+        jax.block_until_ready(state_s.vx)
+        t0 = time.perf_counter()
+        state_s, _ = multi(state_s)
+        jax.block_until_ready(state_s.vx)
+        scan_per_step = (time.perf_counter() - t0) / args.scan
+
     # per-phase breakdown (interp / stokes / energy / advect), separately
     # jitted + synced — informs where the step time goes (SURVEY.md §5)
     phases = {}
@@ -113,6 +131,8 @@ def main():
             "phase_seconds": phases,
         },
     }
+    if scan_per_step is not None:
+        result["detail"]["seconds_per_step_scanned"] = round(scan_per_step, 3)
     print(json.dumps(result))
 
 

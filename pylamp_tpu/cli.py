@@ -38,6 +38,9 @@ def main(argv=None):
     runp.add_argument("--profile-phases", action="store_true",
                       help="per-phase wall-clock (interp/stokes/energy/advect) "
                            "into metrics.jsonl")
+    runp.add_argument("--scan", type=int, default=0, metavar="N",
+                      help="fuse N steps per lax.scan chunk (one host sync "
+                           "per chunk instead of per step)")
     runp.add_argument("--resume", type=str, default=None)
     runp.add_argument("--f32", action="store_true",
                       help="f32 state (mixed-precision solves if x64 is on)")
@@ -125,6 +128,7 @@ def main(argv=None):
         resume_from=args.resume,
         echo=True,
         profile_phases=args.profile_phases,
+        scan_chunk=args.scan,
     )
     print(f"done: {int(state.step)} steps, t={float(state.time):.6g}")
     return 0

@@ -56,6 +56,18 @@ class SolverConfig:
     # viscosity jumps where the plain cycle diverges.
     mg_scaled_transfers: bool = False
     mg_ls_damp: bool = False
+    # Pressure Schur surrogate: "mass" = -(eta_n/kcont) local scaling;
+    # "wbfbt" = weighted BFBT (solvers/bfbt.py) — contrast-robust for
+    # sharp-interface fields (sticky air), ~2 pressure-Poisson V-cycle
+    # solves extra per preconditioner application.
+    schur: str = "mass"
+    schur_poisson_iters: int = 3
+    # > 0: replace the velocity block's single V-cycle with a loose inner
+    # FGMRES solve (V-cycle preconditioned, at most this many iterations)
+    # — the measured fix for sharp-interface extreme contrast, where one
+    # V-cycle barely reduces the momentum residual (solvers/mg.py).
+    mg_velocity_inner_iters: int = 0
+    mg_velocity_inner_tol: float = 3e-2
     # Multi-chip: replicate MG levels whose smaller extent is <= this many
     # cells across the device mesh (one all-gather per V-cycle) instead of
     # leaving them domain-decomposed and ICI-latency-bound.  Takes effect

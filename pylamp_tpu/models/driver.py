@@ -28,6 +28,7 @@ def run_model(
     callback: Callable | None = None,
     on_divergence: str = "retry",
     profile_phases: bool = False,
+    scan_chunk: int = 0,
 ):
     """Run the model for cfg.time.max_steps (or until max_time).
 
@@ -42,12 +43,28 @@ def run_model(
     ``plot_every``: write a quick-look figure (T, |v|, log eta) every N
     steps into ``out_dir``.
 
+    ``scan_chunk``: > 0 fuses that many steps into one ``lax.scan`` and
+    synchronizes with the host only at chunk boundaries (models/step.py
+    ``make_multi_step``).  Metrics stay per-step (scan stacks the
+    diagnostics); checkpoint/output/plot cadences are rounded to chunk
+    boundaries, and the divergence retry re-runs a whole chunk with the
+    stronger solver.  Mutually exclusive with ``profile_phases``.
+
     Returns (final_state, diagnostics list, grid)."""
     import dataclasses
+
+    if scan_chunk > 0 and profile_phases:
+        raise ValueError("scan_chunk and profile_phases are mutually exclusive")
 
     grid, table, state = build(cfg)
     if resume_from:
         state, _ = load_checkpoint(resume_from, template=state)
+
+    if scan_chunk > 0:
+        return _run_scanned(
+            cfg, grid, table, state, out_dir, checkpoint_every, output_every,
+            plot_every, echo, callback, on_divergence, scan_chunk,
+        )
 
     if profile_phases:
         from pylamp_tpu.models.step import make_phased_runner
@@ -114,6 +131,89 @@ def run_model(
                 os.path.join(out_dir, f"fields_{int(state.step):06d}.png"), state, grid
             )
         if out_dir and checkpoint_every and int(state.step) % checkpoint_every == 0:
+            save_checkpoint(os.path.join(out_dir, "checkpoint.npz"), state)
+
+    logger.close()
+    return state, diags, grid
+
+
+def _run_scanned(cfg, grid, table, state, out_dir, checkpoint_every,
+                 output_every, plot_every, echo, callback, on_divergence,
+                 scan_chunk):
+    """Chunked lax.scan time loop: one host sync per ``scan_chunk`` steps."""
+    import dataclasses
+
+    from pylamp_tpu.models.step import make_multi_step
+
+    multi = jax.jit(make_multi_step(grid, cfg, table, scan_chunk))
+    strong_multi = None
+
+    logger = MetricsLogger(
+        os.path.join(out_dir, "metrics.jsonl") if out_dir else None, echo=echo
+    )
+    diags = []
+    tc = cfg.time
+    while int(state.step) < tc.max_steps and float(state.time) < tc.max_time:
+        t0 = time.perf_counter()
+        new_state, chunk_diag = multi(state)
+        jax.block_until_ready(new_state.vx)
+        chunk_wall = time.perf_counter() - t0
+
+        import numpy as np
+
+        converged = np.asarray(chunk_diag["stokes_converged"])
+        if not converged.all() and on_divergence == "retry":
+            if strong_multi is None:
+                strong_cfg = dataclasses.replace(
+                    cfg,
+                    solver=dataclasses.replace(
+                        cfg.solver,
+                        stokes_maxiter=4 * cfg.solver.stokes_maxiter,
+                        stokes_restart=2 * cfg.solver.stokes_restart,
+                    ),
+                )
+                strong_multi = jax.jit(
+                    make_multi_step(grid, strong_cfg, table, scan_chunk)
+                )
+            t0 = time.perf_counter()
+            new_state, chunk_diag = strong_multi(state)
+            jax.block_until_ready(new_state.vx)
+            chunk_wall = time.perf_counter() - t0
+            converged = np.asarray(chunk_diag["stokes_converged"])
+
+        chunk_host = {k: np.asarray(v) for k, v in chunk_diag.items()}
+        base_step = int(state.step)
+        base_time = float(state.time)
+        times = base_time + np.cumsum(chunk_host["dt"])
+        state = new_state
+        for i in range(scan_chunk):
+            diag = {k: v[i] for k, v in chunk_host.items()}
+            if not bool(diag["stokes_converged"]):
+                diag["warning"] = "stokes solver did not reach tolerance"
+            if int(diag.get("markers_dropped", 0)) > 0:
+                diag["warning"] = (
+                    f"{int(diag['markers_dropped'])} markers dropped (bucket "
+                    f"capacity overflow) — raise ModelConfig.marker_capacity"
+                )
+            rec = {
+                "step": base_step + i + 1,
+                "time": float(times[i]),
+                "step_wall_s": chunk_wall / scan_chunk,
+            }
+            rec.update(diag)
+            logger.log(rec)
+            diags.append(diag)
+
+        if callback is not None:
+            callback(state, diags[-1])
+        s = int(state.step)
+        if out_dir and output_every and s % max(output_every, 1) < scan_chunk:
+            save_fields(os.path.join(out_dir, f"fields_{s:06d}.npz"), state, grid)
+        if out_dir and plot_every and s % max(plot_every, 1) < scan_chunk:
+            from pylamp_tpu.io.output import plot_fields
+
+            plot_fields(os.path.join(out_dir, f"fields_{s:06d}.png"), state, grid)
+        if out_dir and checkpoint_every and s % max(checkpoint_every, 1) < scan_chunk:
             save_checkpoint(os.path.join(out_dir, "checkpoint.npz"), state)
 
     logger.close()

@@ -87,7 +87,7 @@ def make_sweep_step(grid, cfg, tables: Sequence[MaterialTable]):
     params = stack_tables(tables)
 
     def one(state, p):
-        step = make_step(grid, cfg, _table_shim(base, p))
+        step = make_step(grid, cfg, _table_shim(base, p), batched=True)
         return step(state)
 
     return jax.jit(jax.vmap(one, in_axes=(0, 0))), params

@@ -88,14 +88,21 @@ def cg(
     def body(state):
         x, r, z, p, rz, k = state
         Ap = op(p)
-        alpha = rz / tdot(p, Ap)
+        pAp = tdot(p, Ap)
+        # Breakdown guard: a (near-)singular or indefinite direction
+        # (p'Ap <= 0) or rz == 0 would turn alpha/beta into inf/NaN and
+        # silently fill the state with NaNs; exit with the current iterate
+        # instead (k -> maxiter makes cond false).
+        ok = jnp.logical_and(pAp > 0, jnp.abs(rz) > 0)
+        safe = jnp.where(pAp == 0, 1.0, pAp)
+        alpha = jnp.where(ok, rz / safe, 0.0)
         x = taxpy(alpha, p, x)
         r = taxpy(-alpha, Ap, r)
         z = M(r)
         rz_new = tdot(r, z)
-        beta = rz_new / rz
+        beta = jnp.where(ok, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
         p = taxpy(beta, p, z)
-        return x, r, z, p, rz_new, k + 1
+        return x, r, z, p, rz_new, jnp.where(ok, k + 1, maxiter)
 
     x, r, _, _, _, k = lax.while_loop(cond, body, (x0, r0, z0, z0, rz0, jnp.array(0)))
     res = tnorm(r)
@@ -136,15 +143,22 @@ def fcg(
     def body(state):
         x, r, z, p, rz, k = state
         Ap = op(p)
-        alpha = rz / tdot(p, Ap)
+        pAp = tdot(p, Ap)
+        # Breakdown guard (see cg): the approximately-SPD V-cycle
+        # preconditioner can produce rz == 0 or an indefinite direction;
+        # exit with the current iterate rather than NaN-filling the state.
+        ok = jnp.logical_and(pAp > 0, jnp.abs(rz) > 0)
+        safe_pAp = jnp.where(pAp == 0, 1.0, pAp)
+        safe_rz = jnp.where(rz == 0, 1.0, rz)
+        alpha = jnp.where(ok, rz / safe_pAp, 0.0)
         x = taxpy(alpha, p, x)
         r_new = taxpy(-alpha, Ap, r)
         z_new = M(r_new)
         # Polak-Ribiere: beta = <r_new, z_new - z> / <r, z>
-        beta = (tdot(r_new, z_new) - tdot(r_new, z)) / rz
+        beta = jnp.where(ok, (tdot(r_new, z_new) - tdot(r_new, z)) / safe_rz, 0.0)
         rz_new = tdot(r_new, z_new)
         p = taxpy(beta, p, z_new)
-        return x, r_new, z_new, p, rz_new, k + 1
+        return x, r_new, z_new, p, rz_new, jnp.where(ok, k + 1, maxiter)
 
     x, r, _, _, _, k = lax.while_loop(cond, body, (x0, r0, z0, z0, rz0, jnp.array(0)))
     res = tnorm(r)

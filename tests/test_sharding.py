@@ -45,6 +45,49 @@ def test_sharded_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_f32_step_never_dispatches_pallas_rebucket(monkeypatch):
+    """pallas_call has no GSPMD partitioning or batching rule, so the Pallas
+    rebucket must never fire inside a sharded (mesh) or vmapped (sweep) step
+    even on otherwise-eligible f32 shapes (round-2 advisor finding)."""
+    import pylamp_tpu.markers.pallas.rebucket_kernel as rk
+
+    monkeypatch.setattr(rk, "rebucket_eligible", lambda *a, **k: True)
+
+    def _boom(*a, **k):
+        raise AssertionError("Pallas rebucket dispatched under mesh/vmap")
+
+    monkeypatch.setattr(rk, "rebucket_pallas", _boom)
+
+    cfg = falling_block(nx=32, ny=32, max_steps=1)
+    cfg = dataclasses.replace(
+        cfg,
+        solver=SolverConfig(precision="f32", stokes_tol=1e-4,
+                            stokes_maxiter=200),
+    )
+    grid, table, state0 = build(cfg)
+    state0 = jax.tree.map(
+        lambda l: l.astype(jnp.float32) if l.dtype == jnp.float64 else l,
+        state0,
+    )
+
+    # sharded step: the mesh gate must route to the XLA repack (no raise)
+    mesh = make_mesh(8)
+    step = make_step(grid, cfg, table, mesh=mesh)
+    sharded = shard_state(state0, mesh)
+    shardings = state_shardings(mesh, state0)
+    s8, d8 = jax.jit(step, in_shardings=(shardings,))(sharded)
+    assert np.isfinite(float(d8["stokes_residual"]))
+
+    # vmapped sweep path: batched=True must likewise take the XLA repack
+    from pylamp_tpu.models.sweep import make_sweep_step, stack_states
+
+    bstep, params = make_sweep_step(grid, cfg, [table, table])
+    bstate = stack_states([state0, state0])
+    _, bd = bstep(bstate, params)
+    assert np.all(np.isfinite(np.asarray(bd["dt"])))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_dryrun_multichip():
     from pylamp_tpu.parallel.dryrun import dryrun_multichip
 
