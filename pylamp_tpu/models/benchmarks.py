@@ -226,12 +226,14 @@ def sticky_air(nx=1024, ny=256, max_steps=50):
             eta_avg="geometric",
             eta_min=1e18, eta_max=1e24,
         ),
-        # Sharp-interface 1e4+ viscosity contrast: needs a generous restart
-        # (25 stagnates) and deep Chebyshev smoothing (measured: s8/8 r60 =
-        # 0.89 s/step at 512x128 vs s5/5 r60 = 1.17 s/step; s3/3 r25 fails).
-        solver=SolverConfig(stokes_tol=1e-8, stokes_restart=60,
+        # Sharp-interface 1e4+ viscosity contrast: one V-cycle per
+        # preconditioner application is the bottleneck (round 3 measured:
+        # 2982 iters/step with convergence failures vs 392 iters all-green
+        # with a 10-iteration inner velocity FGMRES around the V-cycle;
+        # 1.79 -> 1.01 s/step at 512x128 on v5e).
+        solver=SolverConfig(stokes_tol=1e-8, stokes_restart=30,
                             stokes_maxiter=3000,
-                            mg_pre_smooth=8, mg_post_smooth=8),
+                            mg_velocity_inner_iters=10),
         time=TimeConfig(courant=0.25, max_steps=max_steps,
                         dt_max=3.15576e10),  # <= ~1 kyr: free-surface stability
         material_of=material_of,

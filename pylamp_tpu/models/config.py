@@ -78,6 +78,11 @@ class SolverConfig:
     # already fuses this stencil well, so the kernel is off by default and
     # kept as the native-kernel path for further tuning (double buffering).
     use_pallas: bool = False
+    # Fused multi-iteration Chebyshev smoother kernel
+    # (ops/pallas/cheb_kernel.py): all sweep iterations VMEM-resident with
+    # deep halos — on by default (eligibility-gated: f32, TPU, iters <= 3,
+    # single-chip); the mesh/vmap paths fall back to the jnp smoother.
+    use_pallas_smoother: bool = True
     energy_tol: float = 1e-10
     energy_maxiter: int = 2000
     # "jacobi" is optimal while rho*Cp/dt dominates (transient steps);

@@ -116,6 +116,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             pre_smooth=solver.mg_pre_smooth,
             post_smooth=solver.mg_post_smooth,
             use_pallas=solver.use_pallas,
+            use_pallas_smoother=(solver.use_pallas_smoother and not batched),
             scaled_transfers=solver.mg_scaled_transfers,
             ls_damp=solver.mg_ls_damp,
             mesh=mesh,

@@ -34,6 +34,19 @@ coefficients from geometric-mean-coarsened viscosity — the same hierarchy
 rule as the velocity MG), optionally wrapped in a few flexible-CG
 iterations.  Everything is static-shaped slicing: XLA fuses each level,
 GSPMD shards it like any other center field.
+
+MEASURED STATUS (round 3, tests/test_bfbt.py): on marker-smoothed
+interface fields wbfbt converges and agrees with the mass surrogate; on
+CELL-SHARP step coefficients it stagnates at ~0.6 relative residual in
+any precision (the known BFBT boundary/commutator degradation near
+Dirichlet walls).  The production fix for sticky-air-class contrast is
+NOT a better Schur surrogate but a better velocity block: with the
+velocity block solved exactly, even the mass surrogate needs only ~34
+outer iterations on sticky air (vs 1488 with one V-cycle), so
+``SolverConfig.mg_velocity_inner_iters`` (a loose inner FGMRES around the
+V-cycle, solvers/mg.py) is the default production path — measured 1.77x
+faster and divergence-free at 512x128 on v5e.  wbfbt remains available
+(``schur="wbfbt"``) for smooth-coefficient problems.
 """
 from __future__ import annotations
 
@@ -128,15 +141,19 @@ def _num_levels(grid: StaggeredGrid, requested: int = 0, min_cells: int = 4) -> 
 
 
 def _power_lambda_max(apply_binv_a, shape, dtype, iters: int = 12):
+    from jax import lax
+
     n = shape[0] * shape[1]
-    v = ((jnp.arange(n, dtype=dtype) * 0.754877666 + 0.1) % 1.0 - 0.5).reshape(shape)
-    v = v - jnp.mean(v)  # stay orthogonal to the nullspace
-    lam = jnp.asarray(1.0, dtype)
-    for _ in range(iters):
+    v0 = ((jnp.arange(n, dtype=dtype) * 0.754877666 + 0.1) % 1.0 - 0.5).reshape(shape)
+    v0 = v0 - jnp.mean(v0)  # stay orthogonal to the nullspace
+
+    def body(_, st):
+        v, _ = st
         v = v / jnp.sqrt(jnp.vdot(v, v))
         w = apply_binv_a(v)
-        lam = jnp.vdot(v, w)
-        v = w - jnp.mean(w)
+        return w - jnp.mean(w), jnp.vdot(v, w)
+
+    _, lam = lax.fori_loop(0, iters, body, (v0, jnp.asarray(1.0, dtype)))
     return jnp.abs(lam)
 
 
@@ -189,6 +206,8 @@ def make_pressure_poisson_mg(
     ]
 
     def smooth(l, x, b, iters):
+        from jax import lax
+
         d = diags[l]
         lmax = lam[l]
         lmin = lmax / 4.0
@@ -198,11 +217,14 @@ def make_pressure_poisson_mg(
         dx_ = (b - apply_l(l, x)) / d / theta
         x = x + dx_
         ro = 1.0 / s1
-        for _ in range(iters - 1):
+
+        def body(_, st):
+            x, dx_, ro = st
             rho = 1.0 / (2.0 * s1 - ro)
-            dx_ = rho * ro * dx_ + (2.0 * rho / delta) * (b - apply_l(l, x)) / d
-            x = x + dx_
-            ro = rho
+            dx_n = rho * ro * dx_ + (2.0 * rho / delta) * (b - apply_l(l, x)) / d
+            return x + dx_n, dx_n, rho
+
+        x, _, _ = lax.fori_loop(0, iters - 1, body, (x, dx_, ro))
         return x
 
     def vcycle(l, b):
@@ -263,26 +285,44 @@ def make_bfbt_schur(
     def khat(z):
         return poisson_apply(z, cx, cy, grid)
 
+    # f32 safety: the raw composition spans ~40 orders of magnitude
+    # (pressure residuals ~1e14, Poisson solutions ~h^2 larger, momentum
+    # outputs ~eta/h^2 larger still), so Krylov dot products inside the
+    # K solves overflow f32 (measured: pAp -> inf -> alpha -> 0 -> the
+    # solve silently returns 0 and the preconditioner collapses).  Each
+    # K solve therefore normalizes its input to O(1) and the middle
+    # momentum apply runs as A/eta_char; everything is linear, so the
+    # scales recombine exactly in the final factor.
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
     if poisson_iters > 0:
         def ksolve(r):
             r = r - jnp.mean(r)
-            z, _ = fcg(khat, r, jnp.zeros_like(r), M=Mpp,
+            s = jnp.maximum(jnp.max(jnp.abs(r)), tiny)
+            z, _ = fcg(khat, r / s, jnp.zeros_like(r), M=Mpp,
                        tol=poisson_tol, maxiter=poisson_iters)
-            return z - jnp.mean(z)
+            return (z - jnp.mean(z)), s
     else:
         def ksolve(r):
-            return Mpp(r)
+            r = r - jnp.mean(r)
+            s = jnp.maximum(jnp.max(jnp.abs(r)), tiny)
+            return Mpp(r / s), s
 
     def div(vx, vy):
         return (vx[:, 1:] - vx[:, :-1]) / grid.dx + (vy[1:, :] - vy[:-1, :]) / grid.dy
 
+    inv_echar = (1.0 / eta_char).astype(dtype)
+    # eta_char/kcont = (dx+dy)/2 by construction (solvers/scaling.py) — an
+    # O(h) factor, but keep it symbolic so custom kcont values stay correct
+    out_scale = (eta_char / kcont).astype(dtype)
+
     def S_inv(rc):
-        z1 = ksolve(rc)
+        z1, s1 = ksolve(rc)
         gx, gy = _pressure_gradient(z1, grid, dtype)
         ux, uy = gx * winv_x, gy * winv_y
         ax, ay = momentum_apply(ux, uy, eta_s, eta_n, grid, bcs, kbnd)
-        mid = div(ax * winv_x, ay * winv_y)
-        z2 = ksolve(mid)
-        return z2 / kcont
+        mid = div(ax * inv_echar * winv_x, ay * inv_echar * winv_y)
+        z2, s2 = ksolve(mid)
+        return z2 * (s1 * s2 * out_scale)
 
     return S_inv

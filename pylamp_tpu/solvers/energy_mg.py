@@ -63,14 +63,18 @@ def restrict_corner(f):
 
 
 def _power_lambda_max(apply_binv_a, shape, dtype, iters: int = 12):
+    from jax import lax
+
     n = shape[0] * shape[1]
-    v = ((jnp.arange(n, dtype=dtype) * 0.754877666 + 0.1) % 1.0 - 0.5).reshape(shape)
-    lam = jnp.asarray(1.0, dtype)
-    for _ in range(iters):
+    v0 = ((jnp.arange(n, dtype=dtype) * 0.754877666 + 0.1) % 1.0 - 0.5).reshape(shape)
+
+    def body(_, st):
+        v, _ = st
         v = v / jnp.sqrt(jnp.vdot(v, v))
         w = apply_binv_a(v)
-        lam = jnp.vdot(v, w)
-        v = w
+        return w, jnp.vdot(v, w)
+
+    _, lam = lax.fori_loop(0, iters, body, (v0, jnp.asarray(1.0, dtype)))
     return jnp.abs(lam)
 
 
@@ -121,6 +125,8 @@ def make_energy_mg_preconditioner(
     ]
 
     def smooth(l, x, b, iters):
+        from jax import lax
+
         d = diags[l]
         lmax = lam[l]
         lmin = lmax / 4.0
@@ -130,11 +136,14 @@ def make_energy_mg_preconditioner(
         dx_ = (b - apply_l(l, x)) / d / theta
         x = x + dx_
         ro = 1.0 / s1
-        for _ in range(iters - 1):
+
+        def body(_, st):
+            x, dx_, ro = st
             rho = 1.0 / (2.0 * s1 - ro)
-            dx_ = rho * ro * dx_ + (2.0 * rho / delta) * (b - apply_l(l, x)) / d
-            x = x + dx_
-            ro = rho
+            dx_n = rho * ro * dx_ + (2.0 * rho / delta) * (b - apply_l(l, x)) / d
+            return x + dx_n, dx_n, rho
+
+        x, _, _ = lax.fori_loop(0, iters - 1, body, (x, dx_, ro))
         return x
 
     def vcycle(l, b):

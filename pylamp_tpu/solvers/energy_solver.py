@@ -114,14 +114,14 @@ def solve_energy_mixed(
     M32 = _make_M(k32, rc32, grid, bcs, kbnd32, k_avg, preconditioner)
     solve32 = cg if preconditioner == "jacobi" else fcg
 
-    def inner_solve(r32):
+    def inner_solve(r32, tol32):
         return solve32(
             op32, r32, jnp.zeros_like(r32), M=M32,
-            tol=inner_tol, maxiter=maxiter,
+            tol=tol32, maxiter=maxiter,
         )
 
     T, info = refine(
         op64, inner_solve, b64, T_old.astype(f64), tol=tol,
-        max_refinements=max_refinements,
+        max_refinements=max_refinements, inner_tol=inner_tol,
     )
     return EnergySolution(T, info)

@@ -206,14 +206,21 @@ def _power_lambda_max(apply_Binv_A, shape_x, shape_y, dtype, iters: int = 12):
         v = (jnp.arange(n, dtype=dtype) * 0.754877666 + 0.1) % 1.0 - 0.5
         return v.reshape(shape)
 
-    vx, vy = seed(shape_x), seed(shape_y)
-    lam = jnp.asarray(1.0, dtype)
-    for _ in range(iters):
+    import jax.lax as _lax
+
+    def body(_, st):
+        vx, vy, _ = st
         nrm = jnp.sqrt(jnp.vdot(vx, vx) + jnp.vdot(vy, vy))
         vx, vy = vx / nrm, vy / nrm
         wx, wy = apply_Binv_A(vx, vy)
         lam = jnp.vdot(vx, wx) + jnp.vdot(vy, wy)
-        vx, vy = wx, wy
+        return wx, wy, lam
+
+    # fori_loop keeps the traced graph one-apply deep (12 unrolled applies
+    # per level made solver compiles minutes-long)
+    _, _, lam = _lax.fori_loop(
+        0, iters, body, (seed(shape_x), seed(shape_y), jnp.asarray(1.0, dtype))
+    )
     return lam
 
 
@@ -230,6 +237,7 @@ def make_velocity_mg(
     coarse_iters: int = 32,
     smoother: str = "chebyshev",
     use_pallas: bool = True,
+    use_pallas_smoother: bool = True,
     scaled_transfers: bool = False,
     ls_damp: bool = False,
     mesh=None,
@@ -337,56 +345,99 @@ def make_velocity_mg(
             )
             lam_max.append(1.1 * lam)
 
-    def smooth(l, ex, ey, rx, ry, iters):
+    # fused multi-iteration Pallas smoother (ops/pallas/cheb_kernel.py):
+    # per-level eligibility + hoisted viscosity pads.  pallas_call has no
+    # GSPMD rule, so the caller must pass use_pallas_smoother=False for
+    # sharded/vmapped solves (make_mg_preconditioner gates on mesh).
+    smoother_preps = [None] * nlev
+    if use_pallas_smoother and smoother == "chebyshev":
+        from pylamp_tpu.ops.pallas.cheb_kernel import (
+            prep_smoother_eta,
+            smoother_eligible,
+        )
+
+        smoother_preps = [
+            prep_smoother_eta(es, en, g)
+            if smoother_eligible(g, dtype, min(pre_smooth, post_smooth))
+            else None
+            for (es, en), g in zip(etas, grids)
+        ]
+
+    def smooth(l, ex, ey, rx, ry, iters, zero_init=False):
         es, en = etas[l]
         dvx, dvy = diags[l]
         g = grids[l]
         kb = kbnds[l]
 
+        if smoother_preps[l] is not None and 1 <= iters <= 3:
+            from pylamp_tpu.ops.pallas.cheb_kernel import (
+                chebyshev_smooth_pallas,
+            )
+
+            return chebyshev_smooth_pallas(
+                ex, ey, rx, ry, es, en, g, bcs, kb, lam_max[l], iters,
+                zero_init=zero_init, prepped=smoother_preps[l],
+            )
+
+        import jax.lax as _lax
+
         if smoother == "jacobi":
-            for _ in range(iters):
+            def jbody(_, st):
+                ex, ey = st
                 ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
                                         use_pallas=use_pallas,
                                         eta_prepped=preps[l])
-                ex = ex + omega * (rx - ax) / dvx
-                ey = ey + omega * (ry - ay) / dvy
-            return ex, ey
+                return ex + omega * (rx - ax) / dvx, ey + omega * (ry - ay) / dvy
+
+            return _lax.fori_loop(0, iters, jbody, (ex, ey))
 
         # Chebyshev semi-iteration on D^-1 A over [lmax/4, lmax]
-        # (hypre/ML-style smoothing interval).
+        # (hypre/ML-style smoothing interval).  fori_loop keeps the traced
+        # graph one apply deep (32 unrolled coarse-level applies per
+        # V-cycle made solver compiles minutes-long).
         lmax = lam_max[l]
         lmin = lmax / 4.0
         theta = 0.5 * (lmax + lmin)
         delta = 0.5 * (lmax - lmin)
         sigma1 = theta / delta
 
-        ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb, use_pallas=use_pallas,
-                                eta_prepped=preps[l])
-        dx_ = (rx - ax) / dvx / theta
-        dy_ = (ry - ay) / dvy / theta
-        ex = ex + dx_
-        ey = ey + dy_
-        rho_old = 1.0 / sigma1
-        for _ in range(iters - 1):
-            rho = 1.0 / (2.0 * sigma1 - rho_old)
+        if zero_init:
+            # A(0) = 0 exactly (kbnd rows included): skip the apply
+            dx_ = rx / dvx / theta
+            dy_ = ry / dvy / theta
+        else:
             ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
                                     use_pallas=use_pallas,
                                     eta_prepped=preps[l])
-            dx_ = rho * rho_old * dx_ + (2.0 * rho / delta) * (rx - ax) / dvx
-            dy_ = rho * rho_old * dy_ + (2.0 * rho / delta) * (ry - ay) / dvy
-            ex = ex + dx_
-            ey = ey + dy_
-            rho_old = rho
+            dx_ = (rx - ax) / dvx / theta
+            dy_ = (ry - ay) / dvy / theta
+        ex = ex + dx_
+        ey = ey + dy_
+        rho_old = 1.0 / sigma1
+
+        def cbody(_, st):
+            ex, ey, dx_, dy_, ro = st
+            rho = 1.0 / (2.0 * sigma1 - ro)
+            ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
+                                    use_pallas=use_pallas,
+                                    eta_prepped=preps[l])
+            dx_n = rho * ro * dx_ + (2.0 * rho / delta) * (rx - ax) / dvx
+            dy_n = rho * ro * dy_ + (2.0 * rho / delta) * (ry - ay) / dvy
+            return ex + dx_n, ey + dy_n, dx_n, dy_n, rho
+
+        ex, ey, _, _, _ = _lax.fori_loop(
+            0, iters - 1, cbody, (ex, ey, dx_, dy_, rho_old)
+        )
         return ex, ey
 
     def vcycle(l, rx, ry):
         if l == nlev - 1:
             ex = jnp.zeros_like(rx)
             ey = jnp.zeros_like(ry)
-            return smooth(l, ex, ey, rx, ry, coarse_iters)
+            return smooth(l, ex, ey, rx, ry, coarse_iters, zero_init=True)
         ex = jnp.zeros_like(rx)
         ey = jnp.zeros_like(ry)
-        ex, ey = smooth(l, ex, ey, rx, ry, pre_smooth)
+        ex, ey = smooth(l, ex, ey, rx, ry, pre_smooth, zero_init=True)
         ax, ay = momentum_apply(ex, ey, *etas[l], grids[l], bcs, kbnds[l],
                                 use_pallas=use_pallas, eta_prepped=preps[l])
         rfx, rfy = rx - ax, ry - ay
@@ -450,6 +501,7 @@ def make_mg_preconditioner(
     omega: float = 0.6,
     smoother: str = "chebyshev",
     use_pallas: bool = True,
+    use_pallas_smoother: bool = True,
     scaled_transfers: bool = False,
     ls_damp: bool = False,
     mesh=None,
@@ -485,6 +537,8 @@ def make_mg_preconditioner(
         eta_s, eta_n, grid, bcs, kbnd,
         levels=levels, pre_smooth=pre_smooth, post_smooth=post_smooth, omega=omega,
         smoother=smoother, use_pallas=use_pallas,
+        # no GSPMD/batching rule for pallas_call: sharded solves take jnp
+        use_pallas_smoother=use_pallas_smoother and mesh is None,
         scaled_transfers=scaled_transfers, ls_damp=ls_damp,
         mesh=mesh, coarse_replicate=coarse_replicate,
     )

@@ -37,12 +37,22 @@ def refine(
     x0_64: Any,
     tol: float = 1e-8,
     max_refinements: int = 6,
+    inner_tol: float = 1e-4,
 ):
     """Generic pytree iterative refinement.
 
-    op64: f64 operator; inner_solve32(r32) -> (dx32, SolveInfo) solves
-    A dx = r in f32 from a zero initial guess.  Returns (x64, SolveInfo)
-    where iterations accumulates the inner iteration counts."""
+    op64: f64 operator; inner_solve32(r32, tol32) -> (dx32, SolveInfo)
+    solves A dx = r in f32 from a zero initial guess to the requested
+    relative tolerance.  Returns (x64, SolveInfo) where iterations
+    accumulates the inner iteration counts.
+
+    The requested inner tolerance is ADAPTIVE: each pass multiplies the
+    outer residual by roughly the inner solve's achieved relative
+    accuracy, so the last pass only needs to be as tight as
+    target/res_current — solving it to the fixed floor instead lands ~3
+    orders below target (measured 1e-11 on a 1e-8 sticky-air solve: one
+    whole wasted full-depth pass).  ``inner_tol`` is the tightest
+    tolerance ever requested (the f32 floor)."""
     bnorm = tnorm(b64)
     target = tol * bnorm
 
@@ -55,8 +65,9 @@ def refine(
         return jnp.logical_and(res > target, k < max_refinements)
 
     def body(st):
-        x, r, _, k, it = st
-        dx32, info = inner_solve32(_cast(r, jnp.float32))
+        x, r, res, k, it = st
+        rel = jnp.clip(0.3 * target / res, inner_tol, 0.3)
+        dx32, info = inner_solve32(_cast(r, jnp.float32), rel.astype(jnp.float32))
         x = jax.tree.map(lambda xl, dl: xl + dl.astype(jnp.float64), x, dx32)
         r = tsub(b64, op64(x))
         return x, r, tnorm(r), k + 1, it + info.iterations

@@ -178,12 +178,12 @@ def solve_stokes_mixed(
     mk = make_preconditioner or make_block_jacobi_preconditioner
     M32 = mk(eta_s32, eta_n32, grid, kcont32, kbnd32, bcs=bcs)
 
-    def inner_solve(r32):
+    def inner_solve(r32, tol32):
         z0 = jax.tree.map(jnp.zeros_like, r32)
         # single-pass CGS: the loose inner tolerance tolerates mild
         # orthogonality loss, and the basis reads are a real HBM cost
         return fgmres(
-            op32, r32, z0, M=M32, tol=inner_tol, restart=restart,
+            op32, r32, z0, M=M32, tol=tol32, restart=restart,
             maxiter=maxiter, cgs_passes=1,
         )
 
@@ -197,7 +197,8 @@ def solve_stokes_mixed(
         x0 = jax.tree.map(lambda l: l.astype(f64), x0)
 
     (vx, vy, p), info = refine(
-        op64, inner_solve, b64, x0, tol=tol, max_refinements=max_refinements
+        op64, inner_solve, b64, x0, tol=tol, max_refinements=max_refinements,
+        inner_tol=inner_tol,
     )
     p = p - jnp.mean(p)
     return StokesSolution(vx, vy, p, info)

@@ -1,0 +1,74 @@
+"""Fused Chebyshev smoother kernel (ops/pallas/cheb_kernel.py) vs the jnp
+recurrence in solvers/mg.py — interpret mode on CPU, fp32 tolerance."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pylamp_tpu.core.bc import VelocityBCs
+from pylamp_tpu.core.grid import StaggeredGrid
+from pylamp_tpu.ops.pallas.cheb_kernel import (
+    chebyshev_coeffs,
+    chebyshev_smooth_pallas,
+)
+from pylamp_tpu.solvers.mg import momentum_apply
+from pylamp_tpu.solvers.stokes_solver import velocity_diagonals
+
+
+def _jnp_cheb(ex, ey, rx, ry, eta_s, eta_n, grid, bcs, kbnd, lam, iters,
+              zero_init):
+    """The reference recurrence (mirrors solvers/mg.py smooth())."""
+    dvx, dvy = velocity_diagonals(eta_s, eta_n, grid, kbnd)
+    co = np.asarray(chebyshev_coeffs(jnp.asarray(lam, jnp.float32), iters))
+    dxs = jnp.zeros_like(ex)
+    dys = jnp.zeros_like(ey)
+    for k in range(iters):
+        c1, c2 = float(co[k, 0]), float(co[k, 1])
+        if zero_init and k == 0:
+            dxs = c2 * rx / dvx
+            dys = c2 * ry / dvy
+        else:
+            ax, ay = momentum_apply(ex, ey, eta_s, eta_n, grid, bcs, kbnd)
+            dxs = c1 * dxs + c2 * (rx - ax) / dvx
+            dys = c1 * dys + c2 * (ry - ay) / dvy
+        ex = ex + dxs
+        ey = ey + dys
+    return ex, ey
+
+
+@pytest.mark.parametrize("iters,zero_init", [(3, False), (3, True), (2, False), (1, False)])
+@pytest.mark.parametrize("bc", ["free_slip", "no_slip"])
+def test_fused_smoother_matches_jnp(iters, zero_init, bc):
+    grid = StaggeredGrid(nx=256, ny=16, lx=2.0, ly=1.0)
+    bcs = VelocityBCs(top=bc, bottom=bc, left=bc, right=bc)
+    rng = np.random.default_rng(7)
+    f32 = jnp.float32
+
+    eta_s = jnp.asarray(
+        np.exp(rng.standard_normal(grid.shape_corner) * 2.0), f32)
+    eta_n = jnp.asarray(
+        np.exp(rng.standard_normal(grid.shape_center) * 2.0), f32)
+    rx = jnp.asarray(rng.standard_normal(grid.shape_vx), f32)
+    ry = jnp.asarray(rng.standard_normal(grid.shape_vy), f32)
+    if zero_init:
+        ex = jnp.zeros(grid.shape_vx, f32)
+        ey = jnp.zeros(grid.shape_vy, f32)
+    else:
+        ex = jnp.asarray(rng.standard_normal(grid.shape_vx), f32)
+        ey = jnp.asarray(rng.standard_normal(grid.shape_vy), f32)
+    kbnd = 7.5
+    lam = 3.7
+
+    ref_x, ref_y = _jnp_cheb(ex, ey, rx, ry, eta_s, eta_n, grid, bcs, kbnd,
+                             lam, iters, zero_init)
+    out_x, out_y = chebyshev_smooth_pallas(
+        ex, ey, rx, ry, eta_s, eta_n, grid, bcs, kbnd,
+        jnp.asarray(lam, f32), iters, zero_init=zero_init,
+        block_rows=8, interpret=True,
+    )
+    sx = float(jnp.max(jnp.abs(ref_x)))
+    sy = float(jnp.max(jnp.abs(ref_y)))
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x),
+                               atol=2e-5 * sx)
+    np.testing.assert_allclose(np.asarray(out_y), np.asarray(ref_y),
+                               atol=2e-5 * sy)
