@@ -228,12 +228,19 @@ def sticky_air(nx=1024, ny=256, max_steps=50):
         ),
         # Sharp-interface 1e4+ viscosity contrast: one V-cycle per
         # preconditioner application is the bottleneck (round 3 measured:
-        # 2982 iters/step with convergence failures vs 392 iters all-green
-        # with a 10-iteration inner velocity FGMRES around the V-cycle;
-        # 1.79 -> 1.01 s/step at 512x128 on v5e).
-        solver=SolverConfig(stokes_tol=1e-8, stokes_restart=30,
+        # 2982 iters/step with convergence failures vs ~395 iters
+        # all-green with a 10-iteration inner velocity FGMRES around the
+        # V-cycle).  Deep Chebyshev smoothing makes each inner V-cycle
+        # strong enough that the inner solve exits early, and a loose
+        # inner tolerance (1e-2) avoids over-solving the velocity block.
+        # Tuning matrix at spec 1024x256 on v5e: r60/vtol1e-2 = 0.97
+        # s/step @ 177 iters all-converged, vs r30/vtol3e-2 = 1.66 @ 434
+        # and round-2 settings ~3.9 with convergence failures.
+        solver=SolverConfig(stokes_tol=1e-8, stokes_restart=60,
                             stokes_maxiter=3000,
-                            mg_velocity_inner_iters=10),
+                            mg_pre_smooth=8, mg_post_smooth=8,
+                            mg_velocity_inner_iters=10,
+                            mg_velocity_inner_tol=1e-2),
         time=TimeConfig(courant=0.25, max_steps=max_steps,
                         dt_max=3.15576e10),  # <= ~1 kyr: free-surface stability
         material_of=material_of,
