@@ -39,9 +39,10 @@ def main():
     ap.add_argument("--phase-steps", type=int, default=2,
                     help="extra per-phase-instrumented steps for the phase "
                          "breakdown (0 = skip)")
-    ap.add_argument("--scan", type=int, default=0,
+    ap.add_argument("--scan", type=int, default=5,
                     help="also time a lax.scan chunk of N steps (no host "
-                         "syncs between steps) and report its per-step time")
+                         "syncs between steps) and report its per-step time "
+                         "(0 = skip)")
     args = ap.parse_args()
 
     from pylamp_tpu.models.benchmarks import fk_stagnant_lid
