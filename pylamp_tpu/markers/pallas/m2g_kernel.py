@@ -1,0 +1,351 @@
+"""Pallas TPU kernel: fused marker->grid transfer (all lattices, one pass).
+
+The XLA bucketed transfer (markers/bucket.py `bucket_markers_to_grid`)
+costs ~25 ms per call at 1024^2 x K18 on v5e — ~60x off the HBM bound —
+because its 9-neighbor x 4-corner masked K-reductions materialize dozens
+of (ny, nx, K) intermediates.  One production step makes 3 such calls in
+the interp phase (eta->corner, eta->center, rho->vy) and 4 more in the
+energy phase (T/k/rhoCp/H->corner), all over the SAME marker positions.
+
+This kernel is the marker-transfer native kernel the BASELINE north star
+prescribes (SURVEY.md §2.2, with markers/pallas/rebucket_kernel.py): it
+reads the five marker state streams ONCE per step and accumulates every
+requested (value, lattice) stream in VMEM:
+
+- inputs use the same slot-major (K, 1 + ny + 15, nx) layout as the
+  rebucket kernel (cheap relayout on the host);
+- the grid runs over blocks of *node* rows; each block DMAs a (K, br+8,
+  nx) halo window per stream (cell rows r0-1 .. r0+br) and computes its
+  br node rows completely — output writes are disjoint, no overlap-add;
+- marker properties (eta by viscosity law, Boussinesq rho, k, rhoCp, H)
+  are evaluated in-kernel from (mat, T) via branch-free material-select
+  chains (the material table is static);
+- bilinear weights are built per x/y "kind" (corner-kind: node offset
+  {0,+1}; center-kind: {-1,0,+1}) and shared across lattices: corner =
+  corner_y (x) corner_x, center = center_y (x) center_x, vy = corner_y
+  (x) center_x, vx = center_y (x) corner_x;
+- per column-offset b the accumulation targets the marker's own lane
+  (node col = cell col + b), so the kernel needs NO lane rotates at all:
+  it emits one (rows, nx) plane per b and the caller combines them with
+  two shifted pads (2-D XLA, negligible).
+
+Weighted sums match the XLA path up to f32 summation order (the XLA path
+reduces over K per neighbor-offset; the kernel accumulates slot-by-slot)
+— equivalence is asserted to ~1e-5 relative in tests/test_m2g_kernel.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pylamp_tpu.core.grid import StaggeredGrid
+
+PAD_TOP = 1
+PAD_BOT = 15
+
+R_GAS = 8.314462618
+
+
+def _mat_select(mt, vals, dtype=jnp.float32):
+    """Branch-free material-id -> value select chain (static table)."""
+    v = np.asarray(vals, np.float64)
+    out = jnp.full(mt.shape, dtype(v[0]), dtype)
+    for m in range(1, len(v)):
+        if v[m] != v[0]:
+            out = jnp.where(mt == jnp.int32(m), dtype(v[m]), out)
+    return out
+
+
+def _plan(phys_flags):
+    """Static list of output streams: (name, lattice, n_boffsets)."""
+    with_energy, with_h, with_ra, with_vx = phys_flags
+    plan = [
+        ("c_w", "corner", 2),
+        ("c_eta", "corner", 2),
+        ("n_w", "center", 3),
+        ("n_eta", "center", 3),
+        ("vy_w", "vy", 3),
+        ("vy_rho", "vy", 3),
+    ]
+    if with_vx:
+        plan += [("vx_w", "vx", 2), ("vx_rho", "vx", 2)]
+    if with_energy:
+        plan += [("c_T", "corner", 2), ("c_k", "corner", 2),
+                 ("c_rhocp", "corner", 2)]
+        if with_h:
+            plan += [("c_H", "corner", 2)]
+        if with_ra:
+            plan += [("c_ra", "corner", 2)]
+    return plan
+
+
+def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, *refs,
+            br, K, ny, nx, dx, dy, tbl, eta_mode, eta_min, eta_max,
+            phys_flags, n_out):
+    """Grid dim 0 = node-row blocks; node rows [i*br, i*br + br)."""
+    out_refs = refs[:n_out]
+    xs, ys, Ts, ms, vs, sems = refs[n_out:]
+    with_energy, with_h, with_ra, with_vx = phys_flags
+
+    i = pl.program_id(0)
+    row0 = i * jnp.int32(br)  # == first node row; padded input row of cell
+    # row (node_row - 1) thanks to PAD_TOP = 1
+
+    copies = [
+        pltpu.make_async_copy(
+            h.at[:, pl.ds(row0, br + PAD_TOP + 7), :], b, sems.at[jnp.int32(n)]
+        )
+        for n, (h, b) in enumerate(
+            [(xs_h, xs), (ys_h, ys), (Ts_h, Ts), (ms_h, ms), (vs_h, vs)]
+        )
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    f32 = jnp.float32
+    i32 = jnp.int32
+    inv_dx = f32(1.0 / dx)
+    inv_dy = f32(1.0 / dy)
+
+    for o in out_refs:
+        o[...] = jnp.zeros((br, nx), f32)
+
+    colf = lax.broadcasted_iota(i32, (br + 2, nx), 1).astype(f32)
+    # global CELL row of each local slab row (local row l = cell row0-1+l)
+    rowf = (row0 - i32(1) + lax.broadcasted_iota(i32, (br + 2, nx), 0)).astype(f32)
+
+    plan = _plan(phys_flags)
+    sl = {0: (1, 0), 1: (0, 0), -1: (2, 0)}  # a -> slab row slice start
+
+    def sbody(s, carry):
+        x = xs[s, : br + 2, :]
+        y = ys[s, : br + 2, :]
+        T = Ts[s, : br + 2, :]
+        mt = ms[s, : br + 2, :]
+        vl = (vs[s, : br + 2, :] > i32(0)).astype(f32)
+
+        # -- marker property values (static material table) --------------
+        eta0 = _mat_select(mt, tbl["eta0"])
+        T_ref = _mat_select(mt, tbl["T_ref"])
+        eta = eta0
+        laws = set(int(c) for c in tbl["law"])
+        if 1 in laws:  # Frank-Kamenetskii
+            gamma = _mat_select(mt, tbl["fk_gamma"])
+            eta_fk = eta0 * jnp.exp(-gamma * (T - T_ref))
+            lawp = _mat_select(mt, tbl["law"])
+            eta = jnp.where(lawp == f32(1.0), eta_fk, eta)
+        if 2 in laws:  # Arrhenius
+            E = _mat_select(mt, tbl["E_act"])
+            T_safe = jnp.maximum(T, f32(1e-30))
+            Tr_safe = jnp.maximum(T_ref, f32(1e-30))
+            eta_arr = eta0 * jnp.exp(
+                E * (f32(1.0 / R_GAS) / T_safe) - E * (f32(1.0 / R_GAS) / Tr_safe)
+            )
+            lawp = _mat_select(mt, tbl["law"])
+            eta = jnp.where(lawp == f32(2.0), eta_arr, eta)
+        eta = jnp.clip(eta, f32(eta_min), f32(eta_max))
+        if eta_mode == "geometric":
+            eta = jnp.log(eta)
+        elif eta_mode == "harmonic":
+            eta = f32(1.0) / eta
+
+        rho0 = _mat_select(mt, tbl["rho0"])
+        alpha = _mat_select(mt, tbl["alpha"])
+        rho = rho0 * (f32(1.0) - alpha * (T - T_ref))
+
+        vals = {"c_eta": eta, "n_eta": eta, "vy_rho": rho, "vx_rho": rho,
+                "c_w": None, "n_w": None, "vy_w": None, "vx_w": None}
+        if with_energy:
+            vals["c_T"] = T
+            vals["c_k"] = _mat_select(mt, tbl["k"])
+            vals["c_rhocp"] = rho0 * _mat_select(mt, tbl["cp"])
+            if with_h:
+                vals["c_H"] = _mat_select(mt, tbl["H"])
+            if with_ra:
+                vals["c_ra"] = rho0 * alpha
+
+        # -- bilinear weights per x/y kind (valid mask folded into x) ----
+        fx = x * inv_dx
+        fy = y * inv_dy
+        # corner-kind x: containing target cell == own cell
+        txc = jnp.clip(fx - colf, f32(0.0), f32(1.0))
+        cxc = {0: (f32(1.0) - txc) * vl, 1: txc * vl}
+        # center-kind x: i0 = clip(floor(fx - .5), 0, nx-2); o_i in {-1, 0}
+        fxn = fx - f32(0.5)
+        i0n = jnp.clip(jnp.floor(fxn), f32(0.0), f32(nx - 2))
+        txn = jnp.clip(fxn - i0n, f32(0.0), f32(1.0))
+        oim1 = (i0n == colf - f32(1.0)).astype(f32)
+        oi0 = (i0n == colf).astype(f32)
+        cxn = {
+            -1: (f32(1.0) - txn) * oim1 * vl,
+            0: ((f32(1.0) - txn) * oi0 + txn * oim1) * vl,
+            1: txn * oi0 * vl,
+        }
+        # corner-kind y
+        tyc = jnp.clip(fy - rowf, f32(0.0), f32(1.0))
+        ryc = {0: f32(1.0) - tyc, 1: tyc}
+        # center-kind y: j0 = clip(floor(fy - .5), 0, ny-2); o_j in {-1, 0}
+        fyn = fy - f32(0.5)
+        j0n = jnp.clip(jnp.floor(fyn), f32(0.0), f32(ny - 2))
+        tyn = jnp.clip(fyn - j0n, f32(0.0), f32(1.0))
+        ojm1 = (j0n == rowf - f32(1.0)).astype(f32)
+        oj0 = (j0n == rowf).astype(f32)
+        ryn = {
+            -1: (f32(1.0) - tyn) * ojm1,
+            0: (f32(1.0) - tyn) * oj0 + tyn * ojm1,
+            1: tyn * oj0,
+        }
+
+        ykind = {"corner": ryc, "vy": ryc, "center": ryn, "vx": ryn}
+        xkind = {"corner": cxc, "vx": cxc, "center": cxn, "vy": cxn}
+
+        # -- accumulate: node (cell_row + a, cell_col + b) ----------------
+        # group plan entries by lattice so each g = ry*cx is built once
+        oidx = 0
+        offsets = {}  # name -> list of out_ref indices per b
+        for name, lat, nb_off in plan:
+            offsets[name] = list(range(oidx, oidx + nb_off))
+            oidx += nb_off
+
+        for lat in ("corner", "center", "vy", "vx"):
+            streams = [(nm, offsets[nm]) for nm, lt, _ in plan if lt == lat]
+            if not streams:
+                continue
+            ry = ykind[lat]
+            cx = xkind[lat]
+            bs = sorted(cx.keys())
+            for a in sorted(ry.keys()):
+                st = sl[a][0]
+                for bi, b in enumerate(bs):
+                    g = (ry[a] * cx[b])[st : st + br, :]
+                    for nm, idxs in streams:
+                        v = vals[nm]
+                        ref = out_refs[idxs[bi]]
+                        if v is None:
+                            ref[...] += g
+                        else:
+                            ref[...] += g * v[st : st + br, :]
+        return carry
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(K), sbody, jnp.int32(0))
+
+
+def m2g_fused_eligible(ny: int, nx: int, K: int, block_rows: int = 8) -> bool:
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return False
+    br = block_rows
+    # input windows dominate; ~30 temporary planes of (br+2, nx) f32
+    vmem = 5 * K * (br + 8) * nx * 4 + 30 * (br + 2) * nx * 4
+    return (
+        nx % 128 == 0
+        and ny % br == 0
+        and ny >= br
+        and vmem <= 12 * 1024 * 1024
+        and platform not in ("cpu", "gpu")
+    )
+
+
+def m2g_fused_pallas(bm, grid: StaggeredGrid, table, phys,
+                     block_rows: int = 8, with_energy: bool = False,
+                     with_ra: bool = False, interpret: bool = False):
+    """Fused marker->grid transfer of every per-step stream.
+
+    Returns a dict of RAW weighted sums and weights per lattice (already
+    combined to node-lattice shapes):
+      eta_s_wv, c_w (corner, nx+1 wide), eta_n_wv, n_w (center),
+      rho_vy_wv, vy_w, [rho_vx_wv, vx_w], and with ``with_energy``:
+      T_wv, k_wv, rhocp_wv, [H_wv], [ra_wv] on the corner lattice.
+    The caller divides by the weights and inverts the eta averaging
+    transform (exactly like the XLA path).
+    """
+    ny, nx, K = bm.x.shape
+    br = block_rows
+    f32, i32 = jnp.float32, jnp.int32
+
+    with_vx = phys.gx != 0.0
+    with_h = bool(np.any(np.asarray(table.H) != 0.0))
+    flags = (with_energy, with_h and with_energy, with_ra, with_vx)
+    plan = _plan(flags)
+    n_out = sum(p[2] for p in plan)
+
+    def prep(arr, dtype):
+        t = jnp.transpose(arr.astype(dtype), (2, 0, 1))
+        return jnp.pad(t, ((0, 0), (PAD_TOP, PAD_BOT), (0, 0)))
+
+    xs = prep(bm.x, f32)
+    ys = prep(bm.y, f32)
+    Ts = prep(bm.T, f32)
+    ms = prep(bm.mat, i32)
+    vs = prep(bm.valid, i32)
+
+    # node rows 0..ny inclusive -> one extra block beyond ny/br
+    nbn = ny // br + 1
+    tbl = {f: np.asarray(getattr(table, f))
+           for f in ("rho0", "alpha", "T_ref", "eta0", "fk_gamma", "E_act",
+                     "k", "cp", "H", "law")}
+
+    kernel = functools.partial(
+        _kernel, br=br, K=K, ny=ny, nx=nx, dx=float(grid.dx),
+        dy=float(grid.dy), tbl=tbl, eta_mode=phys.eta_avg,
+        eta_min=float(phys.eta_min), eta_max=float(phys.eta_max),
+        phys_flags=flags, n_out=n_out,
+    )
+    in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    out2 = pl.BlockSpec((br, nx), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((K, br + PAD_TOP + 7, nx), f32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, nx), f32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, nx), f32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, nx), i32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, nx), i32),
+        pltpu.SemaphoreType.DMA((5,)),
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nbn,),
+        in_specs=[in_spec] * 5,
+        out_specs=[out2] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((nbn * br, nx), f32)] * n_out,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(xs, ys, Ts, ms, vs)
+
+    # -- combine b-offset planes to node-lattice shapes -------------------
+    def combine(planes, bs, rows, cols):
+        """planes[k] holds contributions to node col = cell col + bs[k],
+        stored at the cell's lane; shift-add into a (rows, cols) field."""
+        F = jnp.zeros((rows, cols), f32)
+        for b, P in zip(bs, planes):
+            P = P[:rows, :]
+            if cols == nx + 1:  # corner-kind x: b in {0, 1}
+                F = F + jnp.pad(P, ((0, 0), (b, 1 - b)))
+            else:  # center-kind x on an nx-wide lattice: b in {-1, 0, 1}
+                if b == 0:
+                    F = F + P
+                elif b == 1:
+                    F = F + jnp.pad(P[:, :-1], ((0, 0), (1, 0)))
+                else:
+                    F = F + jnp.pad(P[:, 1:], ((0, 0), (0, 1)))
+        return F
+
+    shapes = {"corner": (ny + 1, nx + 1), "center": (ny, nx),
+              "vy": (ny + 1, nx), "vx": (ny, nx + 1)}
+    boff = {2: (0, 1), 3: (-1, 0, 1)}
+    result = {}
+    oidx = 0
+    for name, lat, nb_off in plan:
+        rows, cols = shapes[lat]
+        result[name] = combine(outs[oidx : oidx + nb_off], boff[nb_off],
+                               rows, cols)
+        oidx += nb_off
+    return result

@@ -77,6 +77,13 @@ class InterpOut(NamedTuple):
     k_m: Any  # marker conductivity (dt cap + energy phase)
     rhocp_m: Any  # marker rho*Cp
     H_m: Any  # marker internal heating
+    # Grid fields prefused by the Pallas m2g kernel (None on the XLA
+    # fallback path; the energy phase then does its own transfers).
+    T_old_g: Any = None
+    k_g: Any = None
+    rhocp_g: Any = None
+    H_g: Any = None
+    ra_g: Any = None
 
 
 class StepPhases(NamedTuple):
@@ -153,11 +160,25 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
         m = state.markers
         dtype = m.x.dtype
         rho_m = table.density(m.mat, m.T)
-        eta_m = jnp.clip(table.viscosity_of(m.mat, m.T), phys.eta_min, phys.eta_max)
         k_m = table.conductivity(m.mat, dtype)
         rhocp_m = table.rho_cp(m.mat, m.T)
         H_m = table.heating(m.mat, dtype)
 
+        if isinstance(m, BucketedMarkers):
+            from pylamp_tpu.markers.pallas.m2g_kernel import (
+                m2g_fused_eligible,
+                m2g_fused_pallas,
+            )
+
+            _ny, _nx, _K = m.x.shape
+            if (solver.use_pallas_m2g
+                    and mesh is None
+                    and not batched
+                    and dtype == jnp.float32
+                    and m2g_fused_eligible(_ny, _nx, _K)):
+                return _interp_fused(m, rho_m, k_m, rhocp_m, H_m, state)
+
+        eta_m = jnp.clip(table.viscosity_of(m.mat, m.T), phys.eta_min, phys.eta_max)
         eta_s = _interp_with_fallback(m, eta_m, grid, "corner", phys.eta_avg, state.eta_s)
         eta_n = _interp_with_fallback(m, eta_m, grid, "center", phys.eta_avg, state.eta_n)
         rho_vy = _interp_with_fallback(
@@ -170,6 +191,54 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
         else:
             rho_vx = jnp.zeros(grid.shape_vx, dtype)
         return InterpOut(eta_s, eta_n, rho_vx, rho_vy, k_m, rhocp_m, H_m)
+
+    def _interp_fused(m, rho_m, k_m, rhocp_m, H_m, state) -> InterpOut:
+        """All marker->grid streams in one Pallas pass (16x vs the XLA
+        transfers, measured at 1024^2xK18 on v5e) — including the energy
+        phase's corner-lattice fields so the marker state is read once."""
+        from pylamp_tpu.markers.pallas.m2g_kernel import m2g_fused_pallas
+
+        dtype = m.x.dtype
+        with_ra = phys.adiabatic_heating and phys.solve_energy
+        out = m2g_fused_pallas(m, grid, table, phys,
+                               with_energy=phys.solve_energy, with_ra=with_ra)
+
+        def mean_of(wv, w, fallback):
+            return jnp.where(w > 0, wv / jnp.where(w == 0, 1.0, w), fallback)
+
+        def eta_of(wv, w, fallback):
+            mean = wv / jnp.where(w == 0, 1.0, w)
+            if phys.eta_avg == "geometric":
+                mean = jnp.exp(mean)
+            elif phys.eta_avg == "harmonic":
+                mean = 1.0 / jnp.where(mean == 0, 1.0, mean)
+            return jnp.where(w > 0, mean, fallback)
+
+        eta_s = eta_of(out["c_eta"], out["c_w"], state.eta_s)
+        eta_n = eta_of(out["n_eta"], out["n_w"], state.eta_n)
+        rho_vy = mean_of(out["vy_rho"], out["vy_w"], _marker_mean(m, rho_m))
+        if phys.gx != 0.0:
+            rho_vx = mean_of(out["vx_rho"], out["vx_w"], _marker_mean(m, rho_m))
+        else:
+            rho_vx = jnp.zeros(grid.shape_vx, dtype)
+
+        T_old_g = k_g = rhocp_g = H_g = ra_g = None
+        if phys.solve_energy:
+            cw = out["c_w"]
+            T_old_g = mean_of(out["c_T"], cw, state.T)
+            k_g = mean_of(out["c_k"], cw, _marker_mean(m, k_m))
+            rhocp_g = mean_of(out["c_rhocp"], cw, _marker_mean(m, rhocp_m))
+            if "c_H" in out:
+                H_g = mean_of(out["c_H"], cw, jnp.asarray(0.0, dtype))
+            else:
+                H_g = jnp.zeros(grid.shape_corner, dtype)
+            if with_ra:
+                ra_m = table._select(table.rho0, m.mat, dtype) * table._select(
+                    table.alpha, m.mat, dtype
+                )
+                ra_g = mean_of(out["c_ra"], cw, _marker_mean(m, ra_m))
+        return InterpOut(eta_s, eta_n, rho_vx, rho_vy, k_m, rhocp_m, H_m,
+                         T_old_g, k_g, rhocp_g, H_g, ra_g)
 
     # ---- phase 2: Stokes solve (warm-started) ------------------------------
     def stokes(state: ModelState, io: InterpOut):
@@ -242,16 +311,20 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
         if not phys.solve_energy:
             return m, state.T, diag
 
-        T_old = _interp_with_fallback(m, m.T, grid, "corner", "arithmetic", state.T)
-        k_g = _interp_with_fallback(
-            m, io.k_m, grid, "corner", "arithmetic", _marker_mean(m, io.k_m)
-        )
-        rhocp_g = _interp_with_fallback(
-            m, io.rhocp_m, grid, "corner", "arithmetic", _marker_mean(m, io.rhocp_m)
-        )
-        H_g = _interp_with_fallback(
-            m, io.H_m, grid, "corner", "arithmetic", jnp.asarray(0.0, dtype)
-        )
+        if io.T_old_g is not None:
+            # prefused by the Pallas m2g kernel in the interp phase
+            T_old, k_g, rhocp_g, H_g = io.T_old_g, io.k_g, io.rhocp_g, io.H_g
+        else:
+            T_old = _interp_with_fallback(m, m.T, grid, "corner", "arithmetic", state.T)
+            k_g = _interp_with_fallback(
+                m, io.k_m, grid, "corner", "arithmetic", _marker_mean(m, io.k_m)
+            )
+            rhocp_g = _interp_with_fallback(
+                m, io.rhocp_m, grid, "corner", "arithmetic", _marker_mean(m, io.rhocp_m)
+            )
+            H_g = _interp_with_fallback(
+                m, io.H_m, grid, "corner", "arithmetic", jnp.asarray(0.0, dtype)
+            )
         if phys.shear_heating:
             from pylamp_tpu.physics.heating import shear_heating
 
@@ -259,12 +332,15 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
         if phys.adiabatic_heating:
             from pylamp_tpu.physics.heating import adiabatic_heating
 
-            ra_m = jnp.asarray(table.rho0, dtype)[m.mat] * jnp.asarray(
-                table.alpha, dtype
-            )[m.mat]
-            ra_g = _interp_with_fallback(
-                m, ra_m, grid, "corner", "arithmetic", _marker_mean(m, ra_m)
-            )
+            if io.ra_g is not None:
+                ra_g = io.ra_g
+            else:
+                ra_m = table._select(table.rho0, m.mat, dtype) * table._select(
+                    table.alpha, m.mat, dtype
+                )
+                ra_g = _interp_with_fallback(
+                    m, ra_m, grid, "corner", "arithmetic", _marker_mean(m, ra_m)
+                )
             H_g = H_g + adiabatic_heating(T_old, ra_g, vy, phys.gy, grid)
         if _mixed(dtype):
             esol = solve_energy_mixed(
@@ -321,8 +397,23 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             # (dt_min could push dt past the Courant bound -> stay at 2)
             reach = 1 if (tc.courant <= 0.5 and tc.dt_min == 0.0
                           and not moving_walls) else 2
-            markers = bucket_advect_rk4(markers, vx, vy, dt, grid, vbc,
-                                        stage_reach=reach)
+            from pylamp_tpu.markers.pallas.advect_kernel import (
+                advect_rk4_eligible,
+                advect_rk4_pallas,
+            )
+
+            _ny, _nx, _K = markers.x.shape
+            if (solver.use_pallas_advect
+                    and mesh is None
+                    and not batched
+                    and markers.x.dtype == jnp.float32
+                    and advect_rk4_eligible(_ny, _nx, _K)):
+                # fused VMEM RK4 (5.7x, markers/pallas/advect_kernel.py)
+                markers = advect_rk4_pallas(markers, vx, vy, dt, grid, vbc,
+                                            stage_reach=reach)
+            else:
+                markers = bucket_advect_rk4(markers, vx, vy, dt, grid, vbc,
+                                            stage_reach=reach)
             # Pallas VMEM-resident repack where eligible: bit-identical to
             # rebucket, measured 4.1x faster at 1024^2xK16 on v5e
             # (markers/pallas/rebucket_kernel.py)

@@ -76,37 +76,71 @@ class MaterialTable:
     def __len__(self):
         return len(self.materials)
 
+    def _select(self, vals, mat_id, dtype):
+        """id -> per-material value WITHOUT a gather.
+
+        Per-element gathers are the slowest data movement on TPU even when
+        the table is tiny (measured: the 5 gathers of one viscosity lookup
+        at 1024^2 x K18 cost ~30 ms on v5e — comparable to the whole Stokes
+        solve).  With a handful of materials a chain of lane-wise selects
+        is pure VPU work; uniform columns (including the 1-material case)
+        collapse to a broadcast constant at trace time.
+
+        Falls back to traced-select when ``vals`` is a traced array (the
+        parameter-sweep shim, models/sweep.py stacks table columns and
+        vmaps over them).
+        """
+        if isinstance(vals, np.ndarray):
+            v = vals
+            out = jnp.full(mat_id.shape, float(v[0]), dtype)
+            for m in range(1, len(v)):
+                if v[m] != v[0]:
+                    out = jnp.where(mat_id == m, jnp.asarray(v[m], dtype), out)
+            return out
+        vals = jnp.asarray(vals, dtype)
+        out = jnp.broadcast_to(vals[0], mat_id.shape)
+        for m in range(1, vals.shape[0]):
+            out = jnp.where(mat_id == m, vals[m], out)
+        return out
+
     # -- vectorized marker property evaluation ---------------------------
     def density(self, mat_id, T):
-        rho0 = jnp.asarray(self.rho0, T.dtype)[mat_id]
-        alpha = jnp.asarray(self.alpha, T.dtype)[mat_id]
-        T_ref = jnp.asarray(self.T_ref, T.dtype)[mat_id]
+        rho0 = self._select(self.rho0, mat_id, T.dtype)
+        alpha = self._select(self.alpha, mat_id, T.dtype)
+        T_ref = self._select(self.T_ref, mat_id, T.dtype)
         return rho0 * (1.0 - alpha * (T - T_ref))
 
     def viscosity_of(self, mat_id, T):
-        eta0 = jnp.asarray(self.eta0, T.dtype)[mat_id]
-        law = jnp.asarray(self.law)[mat_id]
-        gamma = jnp.asarray(self.fk_gamma, T.dtype)[mat_id]
-        E = jnp.asarray(self.E_act, T.dtype)[mat_id]
-        T_ref = jnp.asarray(self.T_ref, T.dtype)[mat_id]
+        eta0 = self._select(self.eta0, mat_id, T.dtype)
+        T_ref = self._select(self.T_ref, mat_id, T.dtype)
 
-        eta_const = eta0
-        eta_fk = eta0 * jnp.exp(-gamma * (T - T_ref))
-        # Guard T<=0 for the Arrhenius law (only evaluated where selected).
-        T_safe = jnp.maximum(T, 1e-30)
-        Tr_safe = jnp.maximum(T_ref, 1e-30)
-        eta_arr = eta0 * jnp.exp(E / (R_GAS * T_safe) - E / (R_GAS * Tr_safe))
-        return jnp.where(law == 0, eta_const, jnp.where(law == 1, eta_fk, eta_arr))
+        # Law codes are always static (laws are not sweepable); evaluate
+        # only the law branches that are actually present in the table.
+        present = set(int(c) for c in self.law)
+        eta = eta0
+        if 1 in present:  # Frank-Kamenetskii
+            gamma = self._select(self.fk_gamma, mat_id, T.dtype)
+            eta_fk = eta0 * jnp.exp(-gamma * (T - T_ref))
+            law = self._select(self.law, mat_id, jnp.int32)
+            eta = jnp.where(law == 1, eta_fk, eta)
+        if 2 in present:  # Arrhenius; guard T<=0 (evaluated everywhere)
+            E = self._select(self.E_act, mat_id, T.dtype)
+            T_safe = jnp.maximum(T, 1e-30)
+            Tr_safe = jnp.maximum(T_ref, 1e-30)
+            eta_arr = eta0 * jnp.exp(E / (R_GAS * T_safe) - E / (R_GAS * Tr_safe))
+            law = self._select(self.law, mat_id, jnp.int32)
+            eta = jnp.where(law == 2, eta_arr, eta)
+        return eta
 
     def conductivity(self, mat_id, dtype):
-        return jnp.asarray(self.k, dtype)[mat_id]
+        return self._select(self.k, mat_id, dtype)
 
     def rho_cp(self, mat_id, T):
         # Boussinesq: thermal mass uses the reference density rho0 (the
         # T-dependence of rho enters the buoyancy term only).
-        rho0 = jnp.asarray(self.rho0, T.dtype)[mat_id]
-        cp = jnp.asarray(self.cp, T.dtype)[mat_id]
+        rho0 = self._select(self.rho0, mat_id, T.dtype)
+        cp = self._select(self.cp, mat_id, T.dtype)
         return rho0 * cp
 
     def heating(self, mat_id, dtype):
-        return jnp.asarray(self.H, dtype)[mat_id]
+        return self._select(self.H, mat_id, dtype)
