@@ -73,6 +73,12 @@ class SolverConfig:
     # leaving them domain-decomposed and ICI-latency-bound.  Takes effect
     # only when make_step receives a mesh.  0 = off.
     mg_coarse_replicate: int = 0
+    # Multi-chip: route every Stokes/energy stencil application through the
+    # explicit shard_map + ppermute halo-exchange operators
+    # (parallel/halo_ops.py) instead of GSPMD auto-partitioning.  Takes
+    # effect only when make_step receives a mesh; levels/grids that don't
+    # decompose evenly fall back to GSPMD per application.
+    explicit_halo: bool = False
     # Fused Pallas stencil kernel in the MG smoother.  Measured on v5e at
     # 1024^2: 0.651 s/step vs 0.627 s/step for the XLA-fused jnp path — XLA
     # already fuses this stencil well, so the kernel is off by default and

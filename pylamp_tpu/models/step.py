@@ -113,6 +113,10 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
         # assume markers move at most one cell per step
         raise ValueError("TimeConfig.courant must be <= 1")
 
+    # explicit shard_map halo exchange for the stencil applies (SURVEY.md
+    # §2.3 SP row); only meaningful for domain-decomposed runs
+    halo_mesh = mesh if (mesh is not None and solver.explicit_halo) else None
+
     if solver.preconditioner == "mg":
         from pylamp_tpu.solvers.mg import make_mg_preconditioner
 
@@ -128,6 +132,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             ls_damp=solver.mg_ls_damp,
             mesh=mesh,
             coarse_replicate=solver.mg_coarse_replicate,
+            halo_mesh=halo_mesh,
             schur=solver.schur,
             schur_poisson_iters=solver.schur_poisson_iters,
             velocity_inner_iters=solver.mg_velocity_inner_iters,
@@ -255,6 +260,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 max_refinements=solver.max_refinements,
                 x0=(state.vx, state.vy, state.p),
                 make_preconditioner=make_precond,
+                halo_mesh=halo_mesh,
             )
         else:
             sol = solve_stokes(
@@ -265,6 +271,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 maxiter=solver.stokes_maxiter,
                 x0=(state.vx, state.vy, state.p),
                 make_preconditioner=make_precond,
+                halo_mesh=halo_mesh,
             )
         vx = sol.vx.astype(dtype)
         vy = sol.vy.astype(dtype)
@@ -349,6 +356,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 maxiter=solver.energy_maxiter,
                 k_avg=phys.k_face_avg,
                 preconditioner=solver.energy_preconditioner,
+                halo_mesh=halo_mesh,
             )
         else:
             esol = solve_energy(
@@ -357,6 +365,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 maxiter=solver.energy_maxiter,
                 k_avg=phys.k_face_avg,
                 preconditioner=solver.energy_preconditioner,
+                halo_mesh=halo_mesh,
             )
         T_new = esol.T.astype(dtype)
 

@@ -79,8 +79,19 @@ def energy_operator(
     bcs: ThermalBCs,
     kbnd: float = 1.0,
     k_avg: str = "arithmetic",
+    halo_mesh=None,
 ):
-    """Apply A_T T = rho*Cp/dt * T - div(k grad T), with BC rows."""
+    """Apply A_T T = rho*Cp/dt * T - div(k grad T), with BC rows.
+
+    ``halo_mesh``: route through the explicit shard_map + ppermute halo
+    path (parallel/halo_ops.py) instead of GSPMD partitioning."""
+    if halo_mesh is not None:
+        from pylamp_tpu.parallel.halo_ops import energy_operator_halo, halo_eligible
+
+        if halo_eligible(grid, halo_mesh):
+            return energy_operator_halo(
+                T, k, rhocp_over_dt, grid, bcs, halo_mesh, kbnd=kbnd, k_avg=k_avg
+            )
     dx, dy = grid.dx, grid.dy
     Tp, kp = _pad_mirror(T, k)
 

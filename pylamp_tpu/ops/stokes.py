@@ -71,9 +71,23 @@ def stokes_operator(
     bcs: VelocityBCs,
     kcont: float = 1.0,
     kbnd: float = 1.0,
+    halo_mesh=None,
 ):
     """Apply the Stokes operator.  Returns (rx, ry, rc) with the shapes of
-    (vx, vy, p)."""
+    (vx, vy, p).
+
+    ``halo_mesh``: a jax.sharding.Mesh — route the application through the
+    explicit shard_map + ppermute halo-exchange path (parallel/halo_ops.py)
+    instead of letting GSPMD partition this stencil.  Falls back to the
+    GSPMD path on grids that don't decompose evenly over the mesh."""
+    if halo_mesh is not None:
+        from pylamp_tpu.parallel.halo_ops import halo_eligible, stokes_operator_halo
+
+        if halo_eligible(grid, halo_mesh):
+            return stokes_operator_halo(
+                vx, vy, p, eta_s, eta_n, grid, bcs, halo_mesh,
+                kcont=kcont, kbnd=kbnd,
+            )
     dx, dy = grid.dx, grid.dy
 
     sxy = shear_stress_xy(vx, vy, eta_s, grid, bcs)  # (ny+1, nx+1)

@@ -89,9 +89,13 @@ def make_energy_mg_preconditioner(
     pre_smooth: int = 2,
     post_smooth: int = 2,
     coarse_iters: int = 16,
+    halo_mesh=None,
 ):
     """Returns M(r) -> z: one V-cycle on the energy operator from a zero
-    initial guess (an SPD-ish preconditioner for CG)."""
+    initial guess (an SPD-ish preconditioner for CG).  ``halo_mesh`` routes
+    every level's operator application through the explicit shard_map halo
+    path (parallel/halo_ops.py; per-level eligibility is checked inside
+    ops.energy.energy_operator)."""
     from pylamp_tpu.solvers.energy_solver import energy_diagonal
 
     nlev = _num_levels(grid, levels)
@@ -114,7 +118,8 @@ def make_energy_mg_preconditioner(
 
     def apply_l(l, T):
         kl, rl = coeffs[l]
-        return energy_operator(T, kl, rl, grids[l], bcs, kbnd=kbnds[l], k_avg=k_avg)
+        return energy_operator(T, kl, rl, grids[l], bcs, kbnd=kbnds[l],
+                               k_avg=k_avg, halo_mesh=halo_mesh)
 
     lam = [
         1.1

@@ -46,14 +46,17 @@ def solve_energy(
     maxiter: int = 2000,
     k_avg: str = "arithmetic",
     preconditioner: str = "jacobi",
+    halo_mesh=None,
 ) -> EnergySolution:
     kbnd = jnp.mean(rhocp_over_dt) + 4.0 * jnp.mean(k) / min(grid.dx, grid.dy) ** 2
 
     def op(T):
-        return energy_operator(T, k, rhocp_over_dt, grid, bcs, kbnd=kbnd, k_avg=k_avg)
+        return energy_operator(T, k, rhocp_over_dt, grid, bcs, kbnd=kbnd,
+                               k_avg=k_avg, halo_mesh=halo_mesh)
 
     b = energy_rhs(T_old, k, rhocp_over_dt, H, grid, bcs, kbnd=kbnd, k_avg=k_avg)
-    M = _make_M(k, rhocp_over_dt, grid, bcs, kbnd, k_avg, preconditioner)
+    M = _make_M(k, rhocp_over_dt, grid, bcs, kbnd, k_avg, preconditioner,
+                halo_mesh=halo_mesh)
 
     # the MG V-cycle is only approximately SPD -> flexible CG (krylov.fcg)
     solve = cg if preconditioner == "jacobi" else fcg
@@ -61,12 +64,13 @@ def solve_energy(
     return EnergySolution(T, info)
 
 
-def _make_M(k, rhocp_over_dt, grid, bcs, kbnd, k_avg, preconditioner: str):
+def _make_M(k, rhocp_over_dt, grid, bcs, kbnd, k_avg, preconditioner: str,
+            halo_mesh=None):
     if preconditioner == "mg":
         from pylamp_tpu.solvers.energy_mg import make_energy_mg_preconditioner
 
         return make_energy_mg_preconditioner(
-            k, rhocp_over_dt, grid, bcs, kbnd, k_avg=k_avg
+            k, rhocp_over_dt, grid, bcs, kbnd, k_avg=k_avg, halo_mesh=halo_mesh
         )
     if preconditioner != "jacobi":
         raise ValueError(f"unknown energy preconditioner {preconditioner!r}")
@@ -87,6 +91,7 @@ def solve_energy_mixed(
     max_refinements: int = 5,
     k_avg: str = "arithmetic",
     preconditioner: str = "jacobi",
+    halo_mesh=None,
 ) -> EnergySolution:
     """f32 CG inner solves inside f64 iterative refinement (see
     solvers/refine.py)."""
@@ -100,7 +105,8 @@ def solve_energy_mixed(
     kbnd = jnp.mean(rc64) + 4.0 * jnp.mean(k64) / min(grid.dx, grid.dy) ** 2
 
     def op64(T):
-        return energy_operator(T, k64, rc64, grid, bcs, kbnd=kbnd, k_avg=k_avg)
+        return energy_operator(T, k64, rc64, grid, bcs, kbnd=kbnd, k_avg=k_avg,
+                               halo_mesh=halo_mesh)
 
     b64 = energy_rhs(
         T_old.astype(f64), k64, rc64, H.astype(f64), grid, bcs, kbnd=kbnd, k_avg=k_avg
@@ -109,9 +115,11 @@ def solve_energy_mixed(
     k32, rc32, kbnd32 = k64.astype(f32), rc64.astype(f32), kbnd.astype(f32)
 
     def op32(T):
-        return energy_operator(T, k32, rc32, grid, bcs, kbnd=kbnd32, k_avg=k_avg)
+        return energy_operator(T, k32, rc32, grid, bcs, kbnd=kbnd32, k_avg=k_avg,
+                               halo_mesh=halo_mesh)
 
-    M32 = _make_M(k32, rc32, grid, bcs, kbnd32, k_avg, preconditioner)
+    M32 = _make_M(k32, rc32, grid, bcs, kbnd32, k_avg, preconditioner,
+                  halo_mesh=halo_mesh)
     solve32 = cg if preconditioner == "jacobi" else fcg
 
     def inner_solve(r32, tol32):

@@ -134,10 +134,10 @@ def restrict_vy(f, bcs: VelocityBCs):
 
 # -- level structure -----------------------------------------------------------
 
-def _momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd):
+def _momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd, halo_mesh=None):
     rx, ry, _ = stokes_operator(
         vx, vy, jnp.zeros(grid.shape_center, vx.dtype), eta_s, eta_n, grid, bcs,
-        kcont=1.0, kbnd=kbnd,
+        kcont=1.0, kbnd=kbnd, halo_mesh=halo_mesh,
     )
     return rx, ry
 
@@ -160,11 +160,16 @@ def _pallas_eligible(grid: StaggeredGrid, dtype) -> bool:
 
 
 def momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd, use_pallas=False,
-                   eta_prepped=None):
+                   eta_prepped=None, halo_mesh=None):
     """Momentum-block application; dispatches to the fused Pallas kernel on
     eligible TPU levels (ops/pallas/stokes_kernel.py).  ``eta_prepped``
     carries prep_eta_pallas output for solves that apply the operator many
-    times with frozen viscosity."""
+    times with frozen viscosity.  ``halo_mesh`` routes the apply through the
+    explicit shard_map halo path (parallel/halo_ops.py; wins over Pallas —
+    pallas_call has no GSPMD partitioning rule)."""
+    if halo_mesh is not None:
+        return _momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd,
+                               halo_mesh=halo_mesh)
     if use_pallas and _pallas_eligible(grid, vx.dtype):
         from pylamp_tpu.ops.pallas.stokes_kernel import momentum_apply_pallas
 
@@ -242,6 +247,7 @@ def make_velocity_mg(
     ls_damp: bool = False,
     mesh=None,
     coarse_replicate: int = 0,
+    halo_mesh=None,
 ):
     """Returns mg(rx, ry) -> (zx, zy): `cycles` handled by the caller.
 
@@ -284,6 +290,20 @@ def make_velocity_mg(
         g = grids[-1]
         grids.append(StaggeredGrid(nx=g.nx // 2, ny=g.ny // 2, lx=g.lx, ly=g.ly))
         etas.append(coarsen_eta(*etas[-1]))
+
+    # explicit-halo applies per level: skip levels that are replicated
+    # across the mesh (coarse_replicate) — resharding a replicated level
+    # back into blocks would defeat the replication; ops.stokes falls back
+    # by itself on levels whose blocks are too small to halo.
+    if halo_mesh is not None:
+        hmesh = [
+            None
+            if (coarse_replicate > 0 and min(g.nx, g.ny) <= coarse_replicate)
+            else halo_mesh
+            for g in grids
+        ]
+    else:
+        hmesh = [None] * nlev
 
     # per-level smoother diagonals; kbnd scales with h^-2 like the stencil
     kbnds = [kbnd * (grids[0].dx / g.dx) ** 2 for g in grids]
@@ -337,7 +357,8 @@ def make_velocity_mg(
             def binv_a(vx, vy, l=l, es=es, en=en, dvx=dvx, dvy=dvy):
                 ax, ay = momentum_apply(vx, vy, es, en, grids[l], bcs, kbnds[l],
                                         use_pallas=use_pallas,
-                                        eta_prepped=preps[l])
+                                        eta_prepped=preps[l],
+                                        halo_mesh=hmesh[l])
                 return ax / dvx, ay / dvy
 
             lam = _power_lambda_max(
@@ -350,7 +371,7 @@ def make_velocity_mg(
     # GSPMD rule, so the caller must pass use_pallas_smoother=False for
     # sharded/vmapped solves (make_mg_preconditioner gates on mesh).
     smoother_preps = [None] * nlev
-    if use_pallas_smoother and smoother == "chebyshev":
+    if use_pallas_smoother and smoother == "chebyshev" and halo_mesh is None:
         from pylamp_tpu.ops.pallas.cheb_kernel import (
             prep_smoother_eta,
             smoother_eligible,
@@ -386,7 +407,8 @@ def make_velocity_mg(
                 ex, ey = st
                 ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
                                         use_pallas=use_pallas,
-                                        eta_prepped=preps[l])
+                                        eta_prepped=preps[l],
+                                        halo_mesh=hmesh[l])
                 return ex + omega * (rx - ax) / dvx, ey + omega * (ry - ay) / dvy
 
             return _lax.fori_loop(0, iters, jbody, (ex, ey))
@@ -408,7 +430,8 @@ def make_velocity_mg(
         else:
             ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
                                     use_pallas=use_pallas,
-                                    eta_prepped=preps[l])
+                                    eta_prepped=preps[l],
+                                    halo_mesh=hmesh[l])
             dx_ = (rx - ax) / dvx / theta
             dy_ = (ry - ay) / dvy / theta
         ex = ex + dx_
@@ -420,7 +443,8 @@ def make_velocity_mg(
             rho = 1.0 / (2.0 * sigma1 - ro)
             ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
                                     use_pallas=use_pallas,
-                                    eta_prepped=preps[l])
+                                    eta_prepped=preps[l],
+                                    halo_mesh=hmesh[l])
             dx_n = rho * ro * dx_ + (2.0 * rho / delta) * (rx - ax) / dvx
             dy_n = rho * ro * dy_ + (2.0 * rho / delta) * (ry - ay) / dvy
             return ex + dx_n, ey + dy_n, dx_n, dy_n, rho
@@ -439,7 +463,8 @@ def make_velocity_mg(
         ey = jnp.zeros_like(ry)
         ex, ey = smooth(l, ex, ey, rx, ry, pre_smooth, zero_init=True)
         ax, ay = momentum_apply(ex, ey, *etas[l], grids[l], bcs, kbnds[l],
-                                use_pallas=use_pallas, eta_prepped=preps[l])
+                                use_pallas=use_pallas, eta_prepped=preps[l],
+                                halo_mesh=hmesh[l])
         rfx, rfy = rx - ax, ry - ay
         if scaled_transfers:
             sfx, sfy = scales[l]
@@ -460,7 +485,8 @@ def make_velocity_mg(
         if ls_damp:
             aex, aey = momentum_apply(pex, pey, *etas[l], grids[l], bcs,
                                       kbnds[l], use_pallas=use_pallas,
-                                      eta_prepped=preps[l])
+                                      eta_prepped=preps[l],
+                                      halo_mesh=hmesh[l])
             # alpha = <r, Ae>/<Ae, Ae>, computed on Ae/s with
             # s = max|Ae| so the squared sums cannot overflow f32 (momentum
             # entries reach ~1e15 at mantle viscosities; their squares do
@@ -506,6 +532,7 @@ def make_mg_preconditioner(
     ls_damp: bool = False,
     mesh=None,
     coarse_replicate: int = 0,
+    halo_mesh=None,
     schur: str = "mass",
     schur_poisson_iters: int = 3,
     velocity_inner_iters: int = 0,
@@ -540,7 +567,7 @@ def make_mg_preconditioner(
         # no GSPMD/batching rule for pallas_call: sharded solves take jnp
         use_pallas_smoother=use_pallas_smoother and mesh is None,
         scaled_transfers=scaled_transfers, ls_damp=ls_damp,
-        mesh=mesh, coarse_replicate=coarse_replicate,
+        mesh=mesh, coarse_replicate=coarse_replicate, halo_mesh=halo_mesh,
     )
     dtype = eta_n.dtype
 
@@ -565,7 +592,8 @@ def make_mg_preconditioner(
         def vel_solve(rvx, rvy):
             def vop(u):
                 return momentum_apply(u[0], u[1], eta_s, eta_n, grid, bcs,
-                                      kbnd, use_pallas=use_pallas)
+                                      kbnd, use_pallas=use_pallas,
+                                      halo_mesh=halo_mesh)
 
             z, _ = _fgmres(
                 vop, (rvx, rvy),
@@ -583,7 +611,8 @@ def make_mg_preconditioner(
             zx, zy = mg(rvx, rvy)
             for _ in range(cycles - 1):
                 ax, ay = momentum_apply(zx, zy, eta_s, eta_n, grid, bcs,
-                                        kbnd, use_pallas=use_pallas)
+                                        kbnd, use_pallas=use_pallas,
+                                        halo_mesh=halo_mesh)
                 dx_, dy_ = mg(rvx - ax, rvy - ay)
                 zx = zx + dx_
                 zy = zy + dy_

@@ -84,20 +84,23 @@ def solve_stokes(
     x0=None,
     preconditioner: Callable | None = None,
     make_preconditioner: Callable | None = None,
+    halo_mesh=None,
 ) -> StokesSolution:
     """Solve the variable-viscosity Stokes system to ``tol`` relative
     residual (of the scaled system).
 
     ``make_preconditioner(eta_s, eta_n, grid, kcont, kbnd) -> M`` overrides
     the default block-Jacobi (e.g. the multigrid preconditioner in mg.py).
-    """
+    ``halo_mesh``: route every operator application through the explicit
+    shard_map halo-exchange path (parallel/halo_ops.py)."""
     dtype = eta_n.dtype
     eta_char = characteristic_viscosity(eta_n)
     kcont, kbnd = stokes_scales(eta_char, grid)
 
     def op(u):
         vx, vy, p = u
-        return stokes_operator(vx, vy, p, eta_s, eta_n, grid, bcs, kcont=kcont, kbnd=kbnd)
+        return stokes_operator(vx, vy, p, eta_s, eta_n, grid, bcs, kcont=kcont,
+                               kbnd=kbnd, halo_mesh=halo_mesh)
 
     b = stokes_rhs(rho_vx, rho_vy, gx, gy, grid, bcs, kbnd=kbnd, dtype=dtype,
                    eta_s=eta_s)
@@ -139,6 +142,7 @@ def solve_stokes_mixed(
     max_refinements: int = 6,
     x0=None,
     make_preconditioner: Callable | None = None,
+    halo_mesh=None,
 ) -> StokesSolution:
     """Mixed-precision Stokes solve: f32 FGMRES+MG inner solves inside f64
     iterative refinement (solvers/refine.py) — reaches 1e-8 relative
@@ -158,7 +162,8 @@ def solve_stokes_mixed(
     def op64(u):
         vx, vy, p = u
         return stokes_operator(
-            vx, vy, p, eta_s64, eta_n64, grid, bcs, kcont=kcont, kbnd=kbnd
+            vx, vy, p, eta_s64, eta_n64, grid, bcs, kcont=kcont, kbnd=kbnd,
+            halo_mesh=halo_mesh,
         )
 
     b64 = stokes_rhs(
@@ -172,7 +177,8 @@ def solve_stokes_mixed(
     def op32(u):
         vx, vy, p = u
         return stokes_operator(
-            vx, vy, p, eta_s32, eta_n32, grid, bcs, kcont=kcont32, kbnd=kbnd32
+            vx, vy, p, eta_s32, eta_n32, grid, bcs, kcont=kcont32, kbnd=kbnd32,
+            halo_mesh=halo_mesh,
         )
 
     mk = make_preconditioner or make_block_jacobi_preconditioner
