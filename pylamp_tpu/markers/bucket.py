@@ -428,7 +428,7 @@ def bucket_reseed(
     hist = jnp.zeros((ny, nx, NMAT), jnp.int32)
     for m in range(NMAT):
         hist = hist.at[:, :, m].set(
-            jnp.sum(bm.valid & (bm.mat == m), axis=-1)
+            jnp.sum(bm.valid & (bm.mat == m), axis=-1, dtype=jnp.int32)
         )
     acc = jnp.zeros_like(hist)
     for a in (-1, 0, 1):

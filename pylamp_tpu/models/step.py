@@ -117,6 +117,35 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
     # §2.3 SP row); only meaningful for domain-decomposed runs
     halo_mesh = mesh if (mesh is not None and solver.explicit_halo) else None
 
+    # explicit-halo marker engine (parallel/halo_markers.py): every marker
+    # operation under shard_map+ppermute when the bucket blocks are eligible
+    marker_halo_mesh = None
+    if halo_mesh is not None:
+        from pylamp_tpu.parallel.halo_markers import halo_markers_eligible
+
+        if halo_markers_eligible(grid, halo_mesh):
+            marker_halo_mesh = halo_mesh
+
+    def _disp_m2g(m, vals, loc, mode):
+        if marker_halo_mesh is not None and isinstance(m, BucketedMarkers):
+            from pylamp_tpu.parallel.halo_markers import m2g_halo
+
+            return m2g_halo(m, vals, grid, loc, mode, marker_halo_mesh)
+        return _m2g(m, vals, grid, loc, mode)
+
+    def _disp_g2m(m, field, loc):
+        if marker_halo_mesh is not None and isinstance(m, BucketedMarkers):
+            from pylamp_tpu.parallel.halo_markers import g2m_halo
+
+            return g2m_halo(
+                field, m.x, m.y, m.valid, grid, loc, marker_halo_mesh
+            )
+        return _g2m(m, field, grid, loc)
+
+    def _disp_interp_fb(m, vals, loc, mode, fallback):
+        field, wsum = _disp_m2g(m, vals, loc, mode)
+        return jnp.where(wsum > 0, field, fallback)
+
     if solver.preconditioner == "mg":
         from pylamp_tpu.solvers.mg import make_mg_preconditioner
 
@@ -184,14 +213,14 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 return _interp_fused(m, rho_m, k_m, rhocp_m, H_m, state)
 
         eta_m = jnp.clip(table.viscosity_of(m.mat, m.T), phys.eta_min, phys.eta_max)
-        eta_s = _interp_with_fallback(m, eta_m, grid, "corner", phys.eta_avg, state.eta_s)
-        eta_n = _interp_with_fallback(m, eta_m, grid, "center", phys.eta_avg, state.eta_n)
-        rho_vy = _interp_with_fallback(
-            m, rho_m, grid, "vy", "arithmetic", _marker_mean(m, rho_m)
+        eta_s = _disp_interp_fb(m, eta_m, "corner", phys.eta_avg, state.eta_s)
+        eta_n = _disp_interp_fb(m, eta_m, "center", phys.eta_avg, state.eta_n)
+        rho_vy = _disp_interp_fb(
+            m, rho_m, "vy", "arithmetic", _marker_mean(m, rho_m)
         )
         if phys.gx != 0.0:
-            rho_vx = _interp_with_fallback(
-                m, rho_m, grid, "vx", "arithmetic", _marker_mean(m, rho_m)
+            rho_vx = _disp_interp_fb(
+                m, rho_m, "vx", "arithmetic", _marker_mean(m, rho_m)
             )
         else:
             rho_vx = jnp.zeros(grid.shape_vx, dtype)
@@ -322,15 +351,15 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             # prefused by the Pallas m2g kernel in the interp phase
             T_old, k_g, rhocp_g, H_g = io.T_old_g, io.k_g, io.rhocp_g, io.H_g
         else:
-            T_old = _interp_with_fallback(m, m.T, grid, "corner", "arithmetic", state.T)
-            k_g = _interp_with_fallback(
-                m, io.k_m, grid, "corner", "arithmetic", _marker_mean(m, io.k_m)
+            T_old = _disp_interp_fb(m, m.T, "corner", "arithmetic", state.T)
+            k_g = _disp_interp_fb(
+                m, io.k_m, "corner", "arithmetic", _marker_mean(m, io.k_m)
             )
-            rhocp_g = _interp_with_fallback(
-                m, io.rhocp_m, grid, "corner", "arithmetic", _marker_mean(m, io.rhocp_m)
+            rhocp_g = _disp_interp_fb(
+                m, io.rhocp_m, "corner", "arithmetic", _marker_mean(m, io.rhocp_m)
             )
-            H_g = _interp_with_fallback(
-                m, io.H_m, grid, "corner", "arithmetic", jnp.asarray(0.0, dtype)
+            H_g = _disp_interp_fb(
+                m, io.H_m, "corner", "arithmetic", jnp.asarray(0.0, dtype)
             )
         if phys.shear_heating:
             from pylamp_tpu.physics.heating import shear_heating
@@ -345,8 +374,8 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 ra_m = table._select(table.rho0, m.mat, dtype) * table._select(
                     table.alpha, m.mat, dtype
                 )
-                ra_g = _interp_with_fallback(
-                    m, ra_m, grid, "corner", "arithmetic", _marker_mean(m, ra_m)
+                ra_g = _disp_interp_fb(
+                    m, ra_m, "corner", "arithmetic", _marker_mean(m, ra_m)
                 )
             H_g = H_g + adiabatic_heating(T_old, ra_g, vy, phys.gy, grid)
         if _mixed(dtype):
@@ -374,19 +403,19 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             # old grid T on the cell-diffusion timescale, then remap
             # only the remaining part of dT (SURVEY.md §2.1
             # "subgrid-diffusion correction").
-            T_node_at_m = _g2m(m, T_old, grid, "corner")
+            T_node_at_m = _disp_g2m(m, T_old, "corner")
             t_diff = io.rhocp_m / (
                 io.k_m * (2.0 / grid.dx**2 + 2.0 / grid.dy**2)
             )
             relax = 1.0 - jnp.exp(-phys.subgrid_diffusion_d * dt / t_diff)
             dT_sub_m = (T_node_at_m - m.T) * relax
-            dT_sub_g, wsub = _m2g(m, dT_sub_m, grid, "corner", "arithmetic")
+            dT_sub_g, wsub = _disp_m2g(m, dT_sub_m, "corner", "arithmetic")
             dT_sub_g = jnp.where(wsub > 0, dT_sub_g, 0.0)
             dT_rem = (T_new - T_old) - dT_sub_g
-            T_m = m.T + dT_sub_m + _g2m(m, dT_rem, grid, "corner")
+            T_m = m.T + dT_sub_m + _disp_g2m(m, dT_rem, "corner")
         else:
             dT = T_new - T_old
-            T_m = m.T + _g2m(m, dT, grid, "corner")
+            T_m = m.T + _disp_g2m(m, dT, "corner")
 
         markers = m.replace(T=T_m)
         diag["energy_iterations"] = esol.info.iterations
@@ -412,7 +441,20 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             )
 
             _ny, _nx, _K = markers.x.shape
-            if (solver.use_pallas_advect
+            if marker_halo_mesh is not None:
+                # explicit shard_map+ppermute path (parallel/halo_markers.py)
+                from pylamp_tpu.parallel.halo_markers import (
+                    advect_rk4_halo,
+                    rebucket_halo,
+                )
+
+                markers = advect_rk4_halo(
+                    markers, vx, vy, dt, grid, vbc, marker_halo_mesh,
+                    stage_reach=reach,
+                )
+                markers, dropped = rebucket_halo(markers, grid,
+                                                 marker_halo_mesh)
+            elif (solver.use_pallas_advect
                     and mesh is None
                     and not batched
                     and markers.x.dtype == jnp.float32
@@ -423,30 +465,41 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             else:
                 markers = bucket_advect_rk4(markers, vx, vy, dt, grid, vbc,
                                             stage_reach=reach)
-            # Pallas VMEM-resident repack where eligible: bit-identical to
-            # rebucket, measured 4.1x faster at 1024^2xK16 on v5e
-            # (markers/pallas/rebucket_kernel.py)
-            from pylamp_tpu.markers.pallas.rebucket_kernel import (
-                rebucket_eligible,
-                rebucket_pallas,
-            )
+            if marker_halo_mesh is None:
+                # Pallas VMEM-resident repack where eligible: bit-identical
+                # to rebucket, measured 4.1x faster at 1024^2xK16 on v5e
+                # (markers/pallas/rebucket_kernel.py)
+                from pylamp_tpu.markers.pallas.rebucket_kernel import (
+                    rebucket_eligible,
+                    rebucket_pallas,
+                )
 
-            _ny, _nx, _K = markers.x.shape
-            if (mesh is None
-                    and not batched
-                    and markers.x.dtype == jnp.float32
-                    and rebucket_eligible(_ny, _nx, _K)):
-                markers, dropped = rebucket_pallas(markers, grid)
-            else:
-                markers, dropped = rebucket(markers, grid)
+                _ny, _nx, _K = markers.x.shape
+                if (mesh is None
+                        and not batched
+                        and markers.x.dtype == jnp.float32
+                        and rebucket_eligible(_ny, _nx, _K)):
+                    markers, dropped = rebucket_pallas(markers, grid)
+                else:
+                    markers, dropped = rebucket(markers, grid)
             diag["markers_dropped"] = dropped
             diag["marker_count"] = markers.total()
             if phys.reseed_min_per_cell > 0:
-                markers = bucket_reseed(
-                    markers, T_new, grid,
-                    min_per_cell=phys.reseed_min_per_cell,
-                    n_materials=len(table),
-                )
+                if marker_halo_mesh is not None:
+                    from pylamp_tpu.parallel.halo_markers import reseed_halo
+
+                    markers = reseed_halo(
+                        markers, T_new, grid,
+                        min_per_cell=phys.reseed_min_per_cell,
+                        n_materials=len(table),
+                        mesh=marker_halo_mesh,
+                    )
+                else:
+                    markers = bucket_reseed(
+                        markers, T_new, grid,
+                        min_per_cell=phys.reseed_min_per_cell,
+                        n_materials=len(table),
+                    )
         else:
             px, py = advect_rk4(markers.x, markers.y, vx, vy, dt, grid, vbc)
             markers = markers.replace(x=px, y=py)
