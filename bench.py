@@ -84,6 +84,10 @@ def main():
         times.append(time.perf_counter() - t0)
     times.sort()
     median = times[len(times) // 2]
+    # materialize diag scalars now: later sections (scan/phased) may fail
+    # or donate buffers, and async errors surface at the next host read
+    residual_rel = float(diag["stokes_residual_rel"])
+    converged = bool(diag["stokes_converged"])
 
     # lax.scan multi-step: the production no-host-sync path; reported
     # alongside the single-step median (which stays the headline so rounds
@@ -104,16 +108,31 @@ def main():
     # jitted + synced — informs where the step time goes (SURVEY.md §5)
     phases = {}
     if args.phase_steps > 0:
+        import gc
+
         from pylamp_tpu.models.step import make_phased_runner
 
-        runner = make_phased_runner(grid, cfg, table)
-        state_p, d = runner(state)  # compile
-        acc = {}
-        for _ in range(args.phase_steps):
-            state_p, d = runner(state_p)
-            for k, v in d["phase_seconds"].items():
-                acc[k] = acc.get(k, 0.0) + v
-        phases = {k: round(v / args.phase_steps, 4) for k, v in acc.items()}
+        # drop the fused-step/multi-step executables + their states: at
+        # 2048^2 three resident executables exceed v5e HBM
+        if args.scan > 0:
+            del multi, state_s
+        del step
+        gc.collect()
+
+        try:
+            runner = make_phased_runner(grid, cfg, table)
+            state_p, d = runner(state)  # compile
+            acc = {}
+            for _ in range(args.phase_steps):
+                state_p, d = runner(state_p)
+                for k, v in d["phase_seconds"].items():
+                    acc[k] = acc.get(k, 0.0) + v
+            jax.block_until_ready(state_p.vx)  # surface async errors here
+            phases = {k: round(v / args.phase_steps, 4)
+                      for k, v in acc.items()}
+        except Exception as e:  # diagnostic only — keep the metric
+            print(f"phase breakdown skipped: {type(e).__name__}: "
+                  f"{str(e)[:120]}", file=sys.stderr)
 
     steps_per_sec = 1.0 / median
     result = {
@@ -126,8 +145,8 @@ def main():
             "seconds_per_step_min": round(times[0], 3),
             "seconds_per_step_max": round(times[-1], 3),
             "krylov_iters_per_step": round(iters / args.steps, 1),
-            "stokes_residual_rel": float(diag["stokes_residual_rel"]),
-            "stokes_converged": bool(diag["stokes_converged"]),
+            "stokes_residual_rel": residual_rel,
+            "stokes_converged": converged,
             "device": str(jax.devices()[0]),
             "phase_seconds": phases,
         },

@@ -137,26 +137,46 @@ def _kernel(dt_h, xs_h, ys_h, vs_h, vxp_h, vyp_h, ox, oy,
     lax.fori_loop(jnp.int32(0), jnp.int32(K), sbody, jnp.int32(0))
 
 
-def advect_rk4_eligible(ny: int, nx: int, K: int, block_rows: int = 8) -> bool:
+def _vmem_bytes(K: int, nx: int, br: int) -> int:
+    """Scoped-VMEM model of one kernel instance: 3 marker windows
+    (K, br+8, nx) + double-buffered output blocks (2 x 2 x (K, br, nx)) +
+    2 velocity windows + per-slot temporaries.  Calibrated against Mosaic's
+    measured accounting (K=18 nx=2048 br=8 -> 18.02 MB actual vs 13.6 MB
+    modeled, i.e. x1.32; the dispatcher applies x1.45 for margin)."""
+    return (3 * K * (br + 8) * nx + 4 * K * br * nx
+            + 2 * (br + 8) * (nx + 128) + 24 * br * nx) * 4
+
+
+_VMEM_LIMIT = int(15.0 * 1024 * 1024 / 1.45)
+
+
+def advect_slot_chunk(ny: int, nx: int, K: int, block_rows: int = 8):
+    """Largest per-call slot count whose kernel instance fits scoped VMEM
+    (the slot axis is embarrassingly parallel for advection, so oversized
+    shapes — e.g. 2048^2 x K18 — run in ceil(K/chunk) kernel calls).
+    None if the shape can't run at all."""
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
-        return False
+        return None
     br = block_rows
-    vmem = (3 * K * (br + 8) * nx + 2 * K * br * nx + 2 * (br + 8) * (nx + 128)
-            + 24 * br * nx) * 4
-    return (
-        nx % 128 == 0
-        and ny % br == 0
-        and ny >= br
-        and vmem <= 12 * 1024 * 1024
-        and platform not in ("cpu", "gpu")
-    )
+    if not (nx % 128 == 0 and ny % br == 0 and ny >= br
+            and platform not in ("cpu", "gpu")):
+        return None
+    for n in range(1, K + 1):
+        kc = -(-K // n)  # ceil(K / n) slots per call
+        if _vmem_bytes(kc, nx, br) <= _VMEM_LIMIT:
+            return kc
+    return None
+
+
+def advect_rk4_eligible(ny: int, nx: int, K: int, block_rows: int = 8) -> bool:
+    return advect_slot_chunk(ny, nx, K, block_rows) is not None
 
 
 def advect_rk4_pallas(bm, vx, vy, dt, grid: StaggeredGrid, bcs: VelocityBCs,
                       stage_reach: int = 1, block_rows: int = 8,
-                      interpret: bool = False):
+                      interpret: bool = False, slot_chunk: int | None = None):
     """Drop-in replacement for `bucket_advect_rk4` on eligible shapes."""
     ny, nx, K = bm.x.shape
     br = block_rows
@@ -194,32 +214,54 @@ def advect_rk4_pallas(bm, vx, vy, dt, grid: StaggeredGrid, bcs: VelocityBCs,
     vyp = prep_v(vy_p)
 
     in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    out3 = pl.BlockSpec((K, br, nx), lambda i: (i * 0, i, i * 0),
-                        memory_space=pltpu.VMEM)
-    scratch = [
-        pltpu.VMEM((8, 128), f32),
-        pltpu.VMEM((K, br + 8, nx), f32),
-        pltpu.VMEM((K, br + 8, nx), f32),
-        pltpu.VMEM((K, br + 8, nx), i32),
-        pltpu.VMEM((br + 8, W), f32),
-        pltpu.VMEM((br + 8, W), f32),
-        pltpu.SemaphoreType.DMA((6,)),
-    ]
-    kernel = functools.partial(
-        _kernel, br=br, K=K, ny=ny, nx=nx, dx=float(grid.dx),
-        dy=float(grid.dy), reach=r, vx_rows=ny + 2, vy_rows=ny + 1,
-        lx=float(grid.lx), ly=float(grid.ly),
-    )
     dt_arr = jnp.broadcast_to(jnp.asarray(dt, f32), (8, 128))
-    ox, oy = pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        in_specs=[in_spec] * 6,
-        out_specs=[out3, out3],
-        out_shape=[jax.ShapeDtypeStruct((K, ny, nx), f32)] * 2,
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(dt_arr, xs, ys, vs, vxp, vyp)
+
+    def run(xs_c, ys_c, vs_c):
+        kc = xs_c.shape[0]
+        out3 = pl.BlockSpec((kc, br, nx), lambda i: (i * 0, i, i * 0),
+                            memory_space=pltpu.VMEM)
+        scratch = [
+            pltpu.VMEM((8, 128), f32),
+            pltpu.VMEM((kc, br + 8, nx), f32),
+            pltpu.VMEM((kc, br + 8, nx), f32),
+            pltpu.VMEM((kc, br + 8, nx), i32),
+            pltpu.VMEM((br + 8, W), f32),
+            pltpu.VMEM((br + 8, W), f32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ]
+        kernel = functools.partial(
+            _kernel, br=br, K=kc, ny=ny, nx=nx, dx=float(grid.dx),
+            dy=float(grid.dy), reach=r, vx_rows=ny + 2, vy_rows=ny + 1,
+            lx=float(grid.lx), ly=float(grid.ly),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[in_spec] * 6,
+            out_specs=[out3, out3],
+            out_shape=[jax.ShapeDtypeStruct((kc, ny, nx), f32)] * 2,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(dt_arr, xs_c, ys_c, vs_c, vxp, vyp)
+
+    # slot-chunked dispatch: each marker's integration is independent, so
+    # oversized shapes run in several bit-identical kernel calls
+    if slot_chunk is not None:
+        kc = slot_chunk
+    else:
+        kc = advect_slot_chunk(ny, nx, K, br) if not interpret else K
+        if kc is None:
+            kc = K  # caller gated on eligibility; preserve old behavior
+    if kc >= K:
+        ox, oy = run(xs, ys, vs)
+    else:
+        oxs, oys = [], []
+        for s in range(0, K, kc):
+            o1, o2 = run(xs[s:s + kc], ys[s:s + kc], vs[s:s + kc])
+            oxs.append(o1)
+            oys.append(o2)
+        ox = jnp.concatenate(oxs, axis=0)
+        oy = jnp.concatenate(oys, axis=0)
 
     def unprep(t):
         return jnp.transpose(t, (1, 2, 0)).astype(bm.x.dtype)

@@ -238,26 +238,36 @@ def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, *refs,
     lax.fori_loop(jnp.int32(0), jnp.int32(K), sbody, jnp.int32(0))
 
 
-def m2g_fused_eligible(ny: int, nx: int, K: int, block_rows: int = 8) -> bool:
+def m2g_slot_chunk(ny: int, nx: int, K: int, block_rows: int = 8):
+    """Largest per-call slot count whose kernel instance fits scoped VMEM.
+    The raw weighted sums are additive across slots, so oversized shapes
+    (e.g. 2048^2 x K18) run in ceil(K/chunk) calls whose outputs are
+    summed.  None if even one slot per call doesn't fit."""
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
-        return False
+        return None
     br = block_rows
-    # input windows dominate; ~30 temporary planes of (br+2, nx) f32
-    vmem = 5 * K * (br + 8) * nx * 4 + 30 * (br + 2) * nx * 4
-    return (
-        nx % 128 == 0
-        and ny % br == 0
-        and ny >= br
-        and vmem <= 12 * 1024 * 1024
-        and platform not in ("cpu", "gpu")
-    )
+    if not (nx % 128 == 0 and ny % br == 0 and ny >= br
+            and platform not in ("cpu", "gpu")):
+        return None
+    for n in range(1, K + 1):
+        kc = -(-K // n)
+        # input windows dominate; ~30 temporary planes of (br+2, nx) f32
+        vmem = 5 * kc * (br + 8) * nx * 4 + 30 * (br + 2) * nx * 4
+        if vmem <= 12 * 1024 * 1024:
+            return kc
+    return None
+
+
+def m2g_fused_eligible(ny: int, nx: int, K: int, block_rows: int = 8) -> bool:
+    return m2g_slot_chunk(ny, nx, K, block_rows) is not None
 
 
 def m2g_fused_pallas(bm, grid: StaggeredGrid, table, phys,
                      block_rows: int = 8, with_energy: bool = False,
-                     with_ra: bool = False, interpret: bool = False):
+                     with_ra: bool = False, interpret: bool = False,
+                     slot_chunk: int | None = None):
     """Fused marker->grid transfer of every per-step stream.
 
     Returns a dict of RAW weighted sums and weights per lattice (already
@@ -294,31 +304,51 @@ def m2g_fused_pallas(bm, grid: StaggeredGrid, table, phys,
            for f in ("rho0", "alpha", "T_ref", "eta0", "fk_gamma", "E_act",
                      "k", "cp", "H", "law")}
 
-    kernel = functools.partial(
-        _kernel, br=br, K=K, ny=ny, nx=nx, dx=float(grid.dx),
-        dy=float(grid.dy), tbl=tbl, eta_mode=phys.eta_avg,
-        eta_min=float(phys.eta_min), eta_max=float(phys.eta_max),
-        phys_flags=flags, n_out=n_out,
-    )
     in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     out2 = pl.BlockSpec((br, nx), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
-    scratch = [
-        pltpu.VMEM((K, br + PAD_TOP + 7, nx), f32),
-        pltpu.VMEM((K, br + PAD_TOP + 7, nx), f32),
-        pltpu.VMEM((K, br + PAD_TOP + 7, nx), f32),
-        pltpu.VMEM((K, br + PAD_TOP + 7, nx), i32),
-        pltpu.VMEM((K, br + PAD_TOP + 7, nx), i32),
-        pltpu.SemaphoreType.DMA((5,)),
-    ]
-    outs = pl.pallas_call(
-        kernel,
-        grid=(nbn,),
-        in_specs=[in_spec] * 5,
-        out_specs=[out2] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((nbn * br, nx), f32)] * n_out,
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(xs, ys, Ts, ms, vs)
+
+    def run(xs_c, ys_c, Ts_c, ms_c, vs_c):
+        kc = xs_c.shape[0]
+        kernel = functools.partial(
+            _kernel, br=br, K=kc, ny=ny, nx=nx, dx=float(grid.dx),
+            dy=float(grid.dy), tbl=tbl, eta_mode=phys.eta_avg,
+            eta_min=float(phys.eta_min), eta_max=float(phys.eta_max),
+            phys_flags=flags, n_out=n_out,
+        )
+        scratch = [
+            pltpu.VMEM((kc, br + PAD_TOP + 7, nx), f32),
+            pltpu.VMEM((kc, br + PAD_TOP + 7, nx), f32),
+            pltpu.VMEM((kc, br + PAD_TOP + 7, nx), f32),
+            pltpu.VMEM((kc, br + PAD_TOP + 7, nx), i32),
+            pltpu.VMEM((kc, br + PAD_TOP + 7, nx), i32),
+            pltpu.SemaphoreType.DMA((5,)),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(nbn,),
+            in_specs=[in_spec] * 5,
+            out_specs=[out2] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((nbn * br, nx), f32)] * n_out,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(xs_c, ys_c, Ts_c, ms_c, vs_c)
+
+    # slot-chunked dispatch for oversized shapes: the raw weighted sums
+    # are additive across slots
+    if slot_chunk is not None:
+        kc = slot_chunk
+    else:
+        kc = m2g_slot_chunk(ny, nx, K, br) if not interpret else K
+        if kc is None:
+            kc = K
+    if kc >= K:
+        outs = run(xs, ys, Ts, ms, vs)
+    else:
+        outs = None
+        for s in range(0, K, kc):
+            o = run(xs[s:s + kc], ys[s:s + kc], Ts[s:s + kc],
+                    ms[s:s + kc], vs[s:s + kc])
+            outs = o if outs is None else [a + b for a, b in zip(outs, o)]
 
     # -- combine b-offset planes to node-lattice shapes -------------------
     def combine(planes, bs, rows, cols):

@@ -66,3 +66,18 @@ def test_advect_kernel_reach2():
                           interpret=True)
     assert _close(b.x, a.x)
     assert _close(b.y, a.y)
+
+
+@pytest.mark.slow
+def test_advect_kernel_slot_chunked_bit_identical():
+    """Slot-chunked dispatch (oversized-shape fallback, e.g. 2048^2 x K18)
+    must be BIT-identical to the single-call kernel: each marker's
+    integration is independent of the slot axis."""
+    bm, grid, vx, vy, dt = _setup(K=5, seed=7)
+    bcs = VelocityBCs()
+    a = advect_rk4_pallas(bm, vx, vy, dt, grid, bcs, stage_reach=1,
+                          interpret=True)
+    b = advect_rk4_pallas(bm, vx, vy, dt, grid, bcs, stage_reach=1,
+                          interpret=True, slot_chunk=2)
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+    np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))

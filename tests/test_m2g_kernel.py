@@ -107,3 +107,19 @@ def test_m2g_kernel_interp_only_and_vx():
     f, w = bucket_markers_to_grid(bm, rho_m, grid, "vx", "arithmetic")
     assert _rel(out["vx_w"], w) < 2e-5
     assert _rel(out["vx_rho"], f * w) < 2e-5
+
+
+@pytest.mark.slow
+def test_m2g_kernel_slot_chunked_matches():
+    """Slot-chunked dispatch (oversized-shape fallback) sums per-chunk
+    weighted sums; agreement with the single-call kernel is to f32
+    summation-order tolerance."""
+    bm, grid, table, phys = _setup(K=5, seed=3)
+    a = m2g_fused_pallas(bm, grid, table, phys, with_energy=True,
+                         interpret=True)
+    b = m2g_fused_pallas(bm, grid, table, phys, with_energy=True,
+                         interpret=True, slot_chunk=2)
+    for k in a:
+        sa, sb = np.asarray(a[k], np.float64), np.asarray(b[k], np.float64)
+        scale = max(np.max(np.abs(sa)), 1e-300)
+        assert np.max(np.abs(sa - sb)) / scale < 5e-6, k
