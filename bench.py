@@ -43,6 +43,9 @@ def main():
                     help="also time a lax.scan chunk of N steps (no host "
                          "syncs between steps) and report its per-step time "
                          "(0 = skip)")
+    ap.add_argument("--solver", type=str, default="",
+                    help="comma-separated SolverConfig overrides for A/Bs, "
+                         "e.g. 'schur=wbfbt,mg_pre_smooth=4'")
     args = ap.parse_args()
 
     from pylamp_tpu.models.benchmarks import fk_stagnant_lid
@@ -53,15 +56,26 @@ def main():
     # Variable-viscosity (Frank-Kamenetskii, 1e4 contrast) convection with
     # energy + markers: the full BASELINE metric workload.
     cfg = fk_stagnant_lid(nx=args.nx, ny=args.nx, max_steps=10**9)
-    cfg = dataclasses.replace(
-        cfg,
-        solver=SolverConfig(
-            stokes_tol=args.tol,
-            stokes_restart=25,  # measured: 0.495 s/step vs 0.569 at 40 (1024^2)
-            stokes_maxiter=250,
-            energy_tol=1e-10,
-        ),
+    overrides = {}
+    for kv in filter(None, args.solver.split(",")):
+        k, v = kv.split("=", 1)
+        t = type(getattr(SolverConfig(), k))
+        overrides[k] = (v.lower() in ("1", "true")) if t is bool else t(v)
+    base = dict(
+        stokes_tol=args.tol,
+        # round-3 tuning at 1024^2: restart 12 + two V-cycles + degree-4
+        # smoothing = 0.25 s/step @ ~28 iters vs 0.30 @ ~52 for the old
+        # restart-25/1-cycle/degree-3 (the short restart cuts the
+        # full-basis CGS traffic, the second cycle halves iterations)
+        stokes_restart=12,
+        stokes_maxiter=250,
+        mg_cycles=2,
+        mg_pre_smooth=4,
+        mg_post_smooth=4,
+        energy_tol=1e-10,
     )
+    base.update(overrides)
+    cfg = dataclasses.replace(cfg, solver=SolverConfig(**base))
     grid, table, state = build(cfg, dtype=jnp.float32)
     step = jax.jit(make_step(grid, cfg, table))
 

@@ -40,25 +40,58 @@ from jax.experimental.pallas import tpu as pltpu
 from pylamp_tpu.core.bc import VelocityBCs
 from pylamp_tpu.core.grid import StaggeredGrid
 
-H = 3  # halo rows per side; window = br + 2H + 2 = br + 8 rows (aligned)
-TOP = 4  # top zero-padding so block i's window starts at padded row i*br
+H = 3  # default halo rows/side; window = br + 2H + 2 = br + 8 rows (aligned)
+TOP = 4  # top zero-padding at the default halo (kept for callers)
+
+# Supported halo depths: (2h + 2) % 8 == 0 keeps DMA alignment.  h = 11
+# also lowers correctly (kernel + tests are depth-generic) but loses to the
+# XLA smoother on v5e — 37% redundant halo rows at br=64: sticky-air
+# degree-8 measured 0.942 s/step fused vs 0.856 jnp — so the dispatcher
+# stops at 7 and deeper sweeps take the jnp path.
+HS = (3, 7)
+
+
+def _pick_h(iters: int):
+    """Smallest supported halo depth that fuses ``iters`` coupled sweeps
+    (staleness advances one row per iteration — module docstring)."""
+    for h in HS:
+        if iters <= h:
+            return h
+    return None
+
+
+def _pick_block_rows(ny: int, nx: int, h: int):
+    """Largest block height whose kernel instance fits scoped VMEM.
+    Model: 12 double-buffered stream windows + 2 double-buffered output
+    blocks, x1.56 for Mosaic temporaries (calibrated: 2048^2 h=7 br=64
+    models 10.6 MB and measures 16.52 MB scoped)."""
+    w128 = -(-(nx + 2) // 128) * 128
+    for br in (64, 32, 16, 8):
+        if ny % br:
+            continue
+        vmem = (12 * (br + 2 * h + 2) + 4 * br) * w128 * 4
+        if vmem * 1.56 <= 15.5 * 1024 * 1024:
+            return br
+    return None
 
 
 def _kernel(coeffs_ref, scal_ref, exg_h, eyg_h, rx_h, ry_h, es_h, en_h,
             ex_out, ey_out,
             exg_b2, eyg_b2, rx_b2, ry_b2, es_b2, en_b2, sems,
-            *, br, grid, iters, zero_init):
-    """Window row maps (padded row p = window row w + i*br):
-      exg: vx row j  at w = j + 4   (ghost top row at w = 3 for block 0)
-      eyg: vy row j  at w = j + 4 - i*br ... i.e. vy row j at w = j + 4
-      rx : vx row j  at w = j + 4      es: corner row J at w = J + 4
-      ry : vy row j  at w = j + 4      en: center row j at w = j + 4
+            *, br, grid, iters, zero_init, h=H):
+    """Window row maps for halo depth h, top = h + 1 (padded row p =
+    window row w + i*br):
+      exg: vx row j  at w = j + top  (ghost top row at w = h for block 0)
+      eyg: vy row j  at w = j + top
+      rx : vx row j  at w = j + top    es: corner row J at w = J + top
+      ry : vy row j  at w = j + top    en: center row j at w = j + top
     (all relative to the block's first vx row r0v = i*br)."""
     ny, nx = grid.ny, grid.nx
     dx, dy = grid.dx, grid.dy
+    top = h + 1
     i = pl.program_id(0)
     nb = pl.num_programs(0)
-    W = br + 8
+    W = br + 2 * h + 2
 
     idx = [jnp.int32(v) for v in range(6)]
 
@@ -120,7 +153,7 @@ def _kernel(coeffs_ref, scal_ref, exg_h, eyg_h, rx_h, ry_h, es_h, en_h,
     dvy_int = (
         2.0 * (en_c + en_up) / dy**2 + (es[:, 1:] + es[:, :-1]) / dx**2
     )  # (W, nx); rows w: en rows w (cell j) and w-1 (cell j-1); first row garbage
-    gvy = (i * jnp.int32(br) - jnp.int32(4)) + lax.broadcasted_iota(
+    gvy = (i * jnp.int32(br) - jnp.int32(top)) + lax.broadcasted_iota(
         jnp.int32, (W, nx), 0
     )  # global vy row of each window row
     wall_vy = jnp.logical_or(gvy == 0, gvy == ny)
@@ -132,8 +165,8 @@ def _kernel(coeffs_ref, scal_ref, exg_h, eyg_h, rx_h, ry_h, es_h, en_h,
     last_block = i == nb - one
     rw_iota = lax.broadcasted_iota(jnp.int32, (W, nx + 1), 0)
     cw_iota_y = lax.broadcasted_iota(jnp.int32, (W, nx + 2), 1)
-    # ghost-bottom window row for the last block: vxg row ny+1 -> w = br+4
-    gb = jnp.int32(br + 4)
+    # ghost-bottom window row for the last block: vxg row ny+1 -> w = br+top
+    gb = jnp.int32(br + top)
 
     dxs = jnp.zeros_like(ex)
     dys = jnp.zeros_like(ey[:, 1 : nx + 1])
@@ -146,13 +179,13 @@ def _kernel(coeffs_ref, scal_ref, exg_h, eyg_h, rx_h, ry_h, es_h, en_h,
         # from the CURRENT first/last interior row every iteration keeps
         # wall physics exact (no staleness at domain boundaries)
         ex = jnp.where(
-            jnp.logical_and(first_block, rw_iota == 3),
-            s_top * ex[4:5],
+            jnp.logical_and(first_block, rw_iota == h),
+            s_top * ex[top : top + 1],
             ex,
         )
         ex = jnp.where(
             jnp.logical_and(last_block, rw_iota == gb),
-            s_bottom * ex[br + 3 : br + 4],
+            s_bottom * ex[br + top - 1 : br + top],
             ex,
         )
         # vy ghost columns (every block, every iteration)
@@ -202,27 +235,32 @@ def _kernel(coeffs_ref, scal_ref, exg_h, eyg_h, rx_h, ry_h, es_h, en_h,
             [ey[:, :1], ey[:, 1 : nx + 1] + dys, ey[:, nx + 1 :]], axis=1
         )
 
-    ex_out[:, :] = ex[4 : 4 + br, :]
-    ey_out[:, :] = ey[4 : 4 + br, 1 : nx + 1]
+    ex_out[:, :] = ex[top : top + br, :]
+    ey_out[:, :] = ey[top : top + br, 1 : nx + 1]
 
 
 def _pad_top_rows(a, top, rows, w128):
     return jnp.pad(a, ((top, rows - top - a.shape[0]), (0, w128 - a.shape[1])))
 
 
-def prep_smoother_eta(eta_s, eta_n, grid: StaggeredGrid, block_rows=64):
+def prep_smoother_eta(eta_s, eta_n, grid: StaggeredGrid, block_rows=64,
+                      h: int = H):
     """Host-side padding of the viscosity streams — frozen for a whole
-    solve, so multigrid levels hoist this out of the ~100s of sweeps."""
+    solve, so multigrid levels hoist this out of the ~100s of sweeps.
+    ``h``: halo depth the sweeps will use (window = br + 2h + 2 rows)."""
     ny, nx = grid.ny, grid.nx
+    top = h + 1
     f32 = jnp.float32
-    br = min(block_rows, ny)
+    br = min(_pick_block_rows(ny, nx, h) or block_rows, block_rows, ny)
     assert ny % br == 0, (ny, br)
-    rows = ny + 16  # last window reads padded rows [ny-br, ny+8)
+    # last window reads padded rows [ny - br, ny + 2h + 2); 8-align
+    rows = ny + -(-(top + 2 * h + 2) // 8) * 8
     w128 = -(-(nx + 2) // 128) * 128
-    es = _pad_top_rows(eta_s.astype(f32), TOP, rows, w128)
+    es = _pad_top_rows(eta_s.astype(f32), top, rows, w128)
     # en in ghost-col layout (cols 1..nx), so column algebra lines up with ey
-    en = _pad_top_rows(jnp.pad(eta_n.astype(f32), ((0, 0), (1, 1))), TOP, rows, w128)
-    return es, en, br, rows, w128
+    en = _pad_top_rows(jnp.pad(eta_n.astype(f32), ((0, 0), (1, 1))), top, rows,
+                       w128)
+    return es, en, br, rows, w128, h
 
 
 def chebyshev_coeffs(lam_max, iters, dtype=jnp.float32):
@@ -254,25 +292,28 @@ def chebyshev_smooth_pallas(
     skips the first operator application entirely.
     ``prepped``: optional output of prep_smoother_eta (the viscosity pads
     are per-solve constants; rx/ry change per sweep and are padded here)."""
-    assert 1 <= iters <= H, iters
     ny, nx = grid.ny, grid.nx
     f32 = jnp.float32
     ex = ex.astype(f32)
     ey = ey.astype(f32)
 
     if prepped is None:
-        prepped = prep_smoother_eta(eta_s, eta_n, grid, block_rows)
-    es, en, br, rows, w128 = prepped
-    rxp = _pad_top_rows(rx.astype(f32), TOP, rows, w128)
-    ryp = _pad_top_rows(jnp.pad(ry.astype(f32), ((0, 0), (1, 1))), TOP, rows, w128)
+        prepped = prep_smoother_eta(eta_s, eta_n, grid, block_rows,
+                                    h=_pick_h(iters) or HS[-1])
+    es, en, br, rows, w128, h = prepped
+    assert 1 <= iters <= h, (iters, h)
+    top = h + 1
+    rxp = _pad_top_rows(rx.astype(f32), top, rows, w128)
+    ryp = _pad_top_rows(jnp.pad(ry.astype(f32), ((0, 0), (1, 1))), top, rows,
+                        w128)
 
-    # ex with ghost rows at vxg layout, then TOP-3 more zero rows on top:
-    # padded row p = vx row p - 4
+    # ex with ghost rows at vxg layout, then top-1 more zero rows above the
+    # ghost: padded row p = vx row p - top
     exg = jnp.concatenate([bcs.s_top * ex[:1], ex, bcs.s_bottom * ex[-1:]], axis=0)
-    exg = _pad_top_rows(exg, TOP - 1, rows, w128)
+    exg = _pad_top_rows(exg, top - 1, rows, w128)
     eyg = jnp.concatenate([bcs.s_left * ey[:, :1], ey, bcs.s_right * ey[:, -1:]],
                           axis=1)
-    eyg = _pad_top_rows(eyg, TOP, rows, w128)
+    eyg = _pad_top_rows(eyg, top, rows, w128)
 
     coeffs = chebyshev_coeffs(lam_max, iters)
     scal = jnp.asarray(
@@ -291,12 +332,12 @@ def chebyshev_smooth_pallas(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, br + 8, w128), f32) for _ in range(6)
+            pltpu.VMEM((2, br + 2 * h + 2, w128), f32) for _ in range(6)
         ] + [pltpu.SemaphoreType.DMA((2, 6))],
     )
 
     kernel = functools.partial(
-        _kernel, br=br, grid=grid, iters=iters, zero_init=zero_init
+        _kernel, br=br, grid=grid, iters=iters, zero_init=zero_init, h=h
     )
 
     ex_new, ey_main = pl.pallas_call(
@@ -335,13 +376,12 @@ def smoother_eligible(grid: StaggeredGrid, dtype, iters: int,
     except Exception:  # pragma: no cover
         return False
     ny, nx = grid.ny, grid.nx
-    w128 = -(-(nx + 2) // 128) * 128
-    vmem = (2 * 6 * (block_rows + 8) + 2 * block_rows) * w128 * 4
+    h = _pick_h(iters)
+    if h is None or iters < 1:
+        return False
     return (
         dtype == jnp.float32
-        and 1 <= iters <= H
-        and ny % block_rows == 0
+        and _pick_block_rows(ny, nx, h) is not None
         and nx >= 256
-        and vmem <= 12 * 1024 * 1024
         and platform not in ("cpu", "gpu")
     )

@@ -377,9 +377,12 @@ def make_velocity_mg(
             smoother_eligible,
         )
 
+        from pylamp_tpu.ops.pallas.cheb_kernel import _pick_h
+
+        deg = max(pre_smooth, post_smooth)
         smoother_preps = [
-            prep_smoother_eta(es, en, g)
-            if smoother_eligible(g, dtype, min(pre_smooth, post_smooth))
+            prep_smoother_eta(es, en, g, h=_pick_h(deg))
+            if smoother_eligible(g, dtype, deg)
             else None
             for (es, en), g in zip(etas, grids)
         ]
@@ -390,7 +393,7 @@ def make_velocity_mg(
         g = grids[l]
         kb = kbnds[l]
 
-        if smoother_preps[l] is not None and 1 <= iters <= 3:
+        if smoother_preps[l] is not None and 1 <= iters <= smoother_preps[l][5]:
             from pylamp_tpu.ops.pallas.cheb_kernel import (
                 chebyshev_smooth_pallas,
             )

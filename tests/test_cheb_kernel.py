@@ -36,7 +36,12 @@ def _jnp_cheb(ex, ey, rx, ry, eta_s, eta_n, grid, bcs, kbnd, lam, iters,
     return ex, ey
 
 
-@pytest.mark.parametrize("iters,zero_init", [(3, False), (3, True), (2, False), (1, False)])
+@pytest.mark.parametrize(
+    "iters,zero_init",
+    [(3, False), (3, True), (2, False), (1, False),
+     # deep-halo variants (h = 7): degree-4..7 sweeps fused
+     (4, False), (5, True), (7, False)],
+)
 @pytest.mark.parametrize("bc", ["free_slip", "no_slip"])
 def test_fused_smoother_matches_jnp(iters, zero_init, bc):
     grid = StaggeredGrid(nx=256, ny=16, lx=2.0, ly=1.0)
