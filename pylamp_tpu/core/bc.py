@@ -11,6 +11,7 @@ import dataclasses
 
 FREE_SLIP = "free_slip"
 NO_SLIP = "no_slip"
+PERIODIC = "periodic"
 
 DIRICHLET = "dirichlet"
 NEUMANN = "neumann"
@@ -26,6 +27,15 @@ class VelocityBCs:
 
     Tangential handling is via ghost nodes: ghost = s * first_interior with
     s = +1 (free slip, zero shear) or -1 (no slip, zero wall velocity).
+
+    Side walls may instead BOTH be "periodic" (lateral wrap-around): the
+    domain is periodic in x with period ``lx``.  Array shapes are unchanged
+    — lattices with nx+1 columns keep a duplicated seam column (col nx is
+    the same physical node as col 0); solution-like arrays hold equal values
+    in both seam columns, while operator outputs / RHS / residuals follow
+    the HALF-ROW convention (each seam column carries half the physical
+    equation), which keeps the embedded operator exactly symmetric under
+    the full-array dot product.  See ops/stokes.py.
     """
 
     top: str = FREE_SLIP
@@ -45,12 +55,39 @@ class VelocityBCs:
     vt_left: float = 0.0
     vt_right: float = 0.0
 
+    def __post_init__(self):
+        if (self.left == PERIODIC) != (self.right == PERIODIC):
+            raise ValueError(
+                "periodic side BCs must be set on BOTH left and right"
+            )
+        if self.top == PERIODIC or self.bottom == PERIODIC:
+            raise ValueError(
+                "periodic BCs are supported on the side walls only "
+                "(top/bottom must be free_slip or no_slip)"
+            )
+        if self.periodic_x and (
+            self.vn_left != 0.0
+            or self.vn_right != 0.0
+            or self.vt_left != 0.0
+            or self.vt_right != 0.0
+        ):
+            raise ValueError("periodic side walls take no prescribed velocities")
+
+    @property
+    def periodic_x(self) -> bool:
+        return self.left == PERIODIC
+
     def _sign(self, wall: str) -> float:
         kind = getattr(self, wall)
         if kind == FREE_SLIP:
             return 1.0
         if kind == NO_SLIP:
             return -1.0
+        if kind == PERIODIC:
+            raise ValueError(
+                f"wall {wall!r} is periodic: it has no ghost sign "
+                "(use the wrap-around stencil path)"
+            )
         raise ValueError(f"unknown velocity BC {kind!r} on wall {wall!r}")
 
     @property
@@ -72,7 +109,8 @@ class VelocityBCs:
 
 @dataclasses.dataclass(frozen=True)
 class ThermalBC:
-    """One wall: kind in {"dirichlet", "neumann"}; value = T or flux (q/k)."""
+    """One wall: kind in {"dirichlet", "neumann", "periodic"};
+    value = T or flux (q/k); ignored for periodic."""
 
     kind: str = NEUMANN
     value: float = 0.0
@@ -84,3 +122,15 @@ class ThermalBCs:
     bottom: ThermalBC = ThermalBC(DIRICHLET, 1.0)
     left: ThermalBC = ThermalBC(NEUMANN, 0.0)
     right: ThermalBC = ThermalBC(NEUMANN, 0.0)
+
+    def __post_init__(self):
+        if (self.left.kind == PERIODIC) != (self.right.kind == PERIODIC):
+            raise ValueError(
+                "periodic thermal BCs must be set on BOTH left and right"
+            )
+        if self.top.kind == PERIODIC or self.bottom.kind == PERIODIC:
+            raise ValueError("periodic thermal BCs are side-wall only")
+
+    @property
+    def periodic_x(self) -> bool:
+        return self.left.kind == PERIODIC

@@ -46,9 +46,16 @@ def _ghost_vx(vx, bcs: VelocityBCs):
 
 
 def _ghost_vy(vy, bcs: VelocityBCs):
-    """Pad vy with ghost columns left/right of the side walls."""
-    left = bcs.s_left * vy[:, :1]
-    right = bcs.s_right * vy[:, -1:]
+    """Pad vy with ghost columns left/right of the side walls.
+
+    Periodic sides wrap: the ghost left of column 0 is the last physical
+    column (period nx; vy has no duplicated seam column)."""
+    if bcs.periodic_x:
+        left = vy[:, -1:]
+        right = vy[:, :1]
+    else:
+        left = bcs.s_left * vy[:, :1]
+        right = bcs.s_right * vy[:, -1:]
     return jnp.concatenate([left, vy, right], axis=1)  # (ny+1, nx+2)
 
 
@@ -80,7 +87,7 @@ def stokes_operator(
     explicit shard_map + ppermute halo-exchange path (parallel/halo_ops.py)
     instead of letting GSPMD partition this stencil.  Falls back to the
     GSPMD path on grids that don't decompose evenly over the mesh."""
-    if halo_mesh is not None:
+    if halo_mesh is not None and not bcs.periodic_x:
         from pylamp_tpu.parallel.halo_ops import halo_eligible, stokes_operator_halo
 
         if halo_eligible(grid, halo_mesh):
@@ -103,7 +110,21 @@ def stokes_operator(
         - (sxy[1:, 1:-1] - sxy[:-1, 1:-1]) / dy
         + (p[:, 1:] - p[:, :-1]) / dx
     )
-    rx = jnp.concatenate([kbnd * vx[:, :1], rx_int, kbnd * vx[:, -1:]], axis=1)
+    if bcs.periodic_x:
+        # Seam momentum row (vx columns 0 and nx are the same physical
+        # node): wrapped stencil, emitted under the HALF-ROW convention —
+        # each duplicate column carries half the physical equation, which
+        # keeps the embedded operator symmetric (core/bc.py docstring).
+        rx_seam = 0.5 * (
+            -(sxx[:, :1] - sxx[:, -1:]) / dx
+            - (sxy[1:, :1] - sxy[:-1, :1]) / dy
+            + (p[:, :1] - p[:, -1:]) / dx
+        )
+        rx = jnp.concatenate([rx_seam, rx_int, rx_seam], axis=1)
+    else:
+        rx = jnp.concatenate(
+            [kbnd * vx[:, :1], rx_int, kbnd * vx[:, -1:]], axis=1
+        )
 
     # y-momentum on interior vy nodes j=1..ny-1 -> (ny-1, nx)
     ry_int = (
@@ -161,9 +182,15 @@ def stokes_rhs(
     if bcs.right == "no_slip" and bcs.vt_right != 0.0:
         by = by.at[1:-1, -1].add(2.0 * eta_s[1:-1, -1] * bcs.vt_right / dx2)
 
-    # Dirichlet rows: prescribed normal velocities.
-    bx = bx.at[:, 0].set(kbnd * bcs.vn_left)
-    bx = bx.at[:, -1].set(kbnd * bcs.vn_right)
+    # Dirichlet rows: prescribed normal velocities.  Periodic sides: the
+    # seam buoyancy row follows the half-row convention (rho_vx must be
+    # seam-consistent, i.e. equal in columns 0 and nx).
+    if bcs.periodic_x:
+        bx = bx.at[:, 0].mul(0.5)
+        bx = bx.at[:, -1].mul(0.5)
+    else:
+        bx = bx.at[:, 0].set(kbnd * bcs.vn_left)
+        bx = bx.at[:, -1].set(kbnd * bcs.vn_right)
     by = by.at[0, :].set(kbnd * bcs.vn_top)
     by = by.at[-1, :].set(kbnd * bcs.vn_bottom)
     bc = jnp.zeros(grid.shape_center, dtype=dtype)

@@ -28,18 +28,28 @@ class StokesSolution(NamedTuple):
     info: SolveInfo
 
 
-def velocity_diagonals(eta_s, eta_n, grid: StaggeredGrid, kbnd):
+def velocity_diagonals(eta_s, eta_n, grid: StaggeredGrid, kbnd,
+                       bcs: VelocityBCs | None = None):
     """Analytic diagonals of the momentum stencils (for Jacobi-type
-    preconditioning/smoothing)."""
+    preconditioning/smoothing).  With periodic side walls the vx seam
+    columns carry the wrapped stencil diagonal under the half-row
+    convention (ops/stokes.py)."""
     dx, dy = grid.dx, grid.dy
     dvx_int = (
         2.0 * (eta_n[:, 1:] + eta_n[:, :-1]) / dx**2
         + (eta_s[1:, 1:-1] + eta_s[:-1, 1:-1]) / dy**2
     )
-    dvx = jnp.concatenate(
-        [jnp.full_like(dvx_int[:, :1], kbnd), dvx_int, jnp.full_like(dvx_int[:, :1], kbnd)],
-        axis=1,
-    )
+    if bcs is not None and bcs.periodic_x:
+        dvx_seam = 0.5 * (
+            2.0 * (eta_n[:, :1] + eta_n[:, -1:]) / dx**2
+            + (eta_s[1:, :1] + eta_s[:-1, :1]) / dy**2
+        )
+        dvx = jnp.concatenate([dvx_seam, dvx_int, dvx_seam], axis=1)
+    else:
+        dvx = jnp.concatenate(
+            [jnp.full_like(dvx_int[:, :1], kbnd), dvx_int, jnp.full_like(dvx_int[:, :1], kbnd)],
+            axis=1,
+        )
     dvy_int = (
         2.0 * (eta_n[1:, :] + eta_n[:-1, :]) / dy**2
         + (eta_s[1:-1, 1:] + eta_s[1:-1, :-1]) / dx**2
@@ -51,17 +61,35 @@ def velocity_diagonals(eta_s, eta_n, grid: StaggeredGrid, kbnd):
     return dvx, dvy
 
 
+def vx_nullspace(bcs: VelocityBCs) -> bool:
+    """True when the operator has a constant-vx nullspace: periodic sides
+    with free-slip (zero-shear) top AND bottom — a uniform horizontal
+    translation then produces zero stress, divergence and BC residual."""
+    from pylamp_tpu.core.bc import FREE_SLIP
+
+    return bcs.periodic_x and bcs.top == FREE_SLIP and bcs.bottom == FREE_SLIP
+
+
+def project_vx_mean(vx):
+    """Remove the constant-vx mode (mean over the unique columns — the
+    duplicated seam column is counted once)."""
+    return vx - jnp.mean(vx[:, :-1])
+
+
 def make_block_jacobi_preconditioner(eta_s, eta_n, grid, kcont, kbnd, bcs=None):
     """Block-diagonal preconditioner:
     velocity — pointwise Jacobi on the momentum diagonals;
     pressure — viscosity-scaled mass matrix (Schur complement surrogate
     S ~ -kcont/eta), projected to the zero-mean gauge."""
-    dvx, dvy = velocity_diagonals(eta_s, eta_n, grid, kbnd)
+    dvx, dvy = velocity_diagonals(eta_s, eta_n, grid, kbnd, bcs=bcs)
+    project = bcs is not None and vx_nullspace(bcs)
 
     def M(r):
         rx, ry, rc = r
         zx = rx / dvx
         zy = ry / dvy
+        if project:
+            zx = project_vx_mean(zx)
         zp = -(eta_n / kcont) * rc
         zp = zp - jnp.mean(zp)
         return (zx, zy, zp)
@@ -123,6 +151,8 @@ def solve_stokes(
         op, b, x0, M=M, tol=tol, restart=restart, maxiter=maxiter
     )
     p = p - jnp.mean(p)  # zero-mean gauge
+    if vx_nullspace(bcs):
+        vx = project_vx_mean(vx)
     return StokesSolution(vx, vy, p, info)
 
 
@@ -207,4 +237,6 @@ def solve_stokes_mixed(
         inner_tol=inner_tol,
     )
     p = p - jnp.mean(p)
+    if vx_nullspace(bcs):
+        vx = project_vx_mean(vx)
     return StokesSolution(vx, vy, p, info)

@@ -23,6 +23,7 @@ class StokesOracle:
         self.nx, self.ny, self.lx, self.ly = nx, ny, lx, ly
         self.dx, self.dy = lx / nx, ly / ny
         self.bcs = bcs
+        self.periodic = bool(getattr(bcs, "periodic_x", False))
         self.nvx = ny * (nx + 1)
         self.nvy = (ny + 1) * nx
         self.np_ = ny * nx
@@ -48,10 +49,14 @@ class StokesOracle:
         return [(self.ivx(j, i), 1.0)]
 
     def vy_entries(self, j, i):
-        """vy[j,i] where i may be -1 or nx (ghost cols)."""
+        """vy[j,i] where i may be -1 or nx (ghost cols; periodic wraps)."""
         if i == -1:
+            if self.periodic:
+                return [(self.ivy(j, self.nx - 1), 1.0)]
             return [(self.ivy(j, 0), self.bcs.s_left)]
         if i == self.nx:
+            if self.periodic:
+                return [(self.ivy(j, 0), 1.0)]
             return [(self.ivy(j, self.nx - 1), self.bcs.s_right)]
         return [(self.ivy(j, i), 1.0)]
 
@@ -69,12 +74,36 @@ class StokesOracle:
             for idx, s in self.vy_entries(j, i):
                 A[row, idx] += s * c
 
+        def seam_x_row(r, j, f):
+            """Wrapped x-momentum equation at the seam node (vx columns 0
+            and nx are the same physical node), scaled by ``f``.  Matches
+            ops/stokes.py: sxx[j,0] reads vx[:,0..1], sxx[j,nx-1] reads the
+            DUPLICATE column vx[:,nx] (and vx[:,nx-1])."""
+            add_vx(r, j, 1, -2.0 * eta_n[j, 0] / dx**2 * f)
+            add_vx(r, j, 0, 2.0 * eta_n[j, 0] / dx**2 * f)
+            A[r, self.ivx(j, nx)] += 2.0 * eta_n[j, nx - 1] / dx**2 * f
+            add_vx(r, j, nx - 1, -2.0 * eta_n[j, nx - 1] / dx**2 * f)
+            eu, ed = eta_s[j, 0], eta_s[j + 1, 0]
+            add_vx(r, j + 1, 0, -ed / dy**2 * f)
+            add_vx(r, j, 0, (ed + eu) / dy**2 * f)
+            add_vx(r, j - 1, 0, -eu / dy**2 * f)
+            add_vy(r, j + 1, 0, -ed / (dx * dy) * f)
+            add_vy(r, j + 1, -1, ed / (dx * dy) * f)
+            add_vy(r, j, 0, eu / (dx * dy) * f)
+            add_vy(r, j, -1, -eu / (dx * dy) * f)
+            A[r, self.ip(j, 0)] += f / dx
+            A[r, self.ip(j, nx - 1)] += -f / dx
+
         # x-momentum rows
         for j in range(ny):
             for i in range(nx + 1):
                 r = self.ivx(j, i)
                 if i == 0 or i == nx:
-                    A[r, r] = kbnd
+                    if self.periodic:
+                        # half-row convention (ops/stokes.py)
+                        seam_x_row(r, j, 0.5)
+                    else:
+                        A[r, r] = kbnd
                     continue
                 # -(sxx[j,i]-sxx[j,i-1])/dx
                 add_vx(r, j, i + 1, -2.0 * eta_n[j, i] / dx**2)
@@ -130,10 +159,14 @@ class StokesOracle:
 
     def rhs(self, rho_vx, rho_vy, gx, gy, kbnd=1.0):
         b = np.zeros(self.n)
-        bx = rho_vx * gx
-        by = rho_vy * gy
-        bx[:, 0] = kbnd * self.bcs.vn_left
-        bx[:, -1] = kbnd * self.bcs.vn_right
+        bx = np.asarray(rho_vx * gx, dtype=float).copy()
+        by = np.asarray(rho_vy * gy, dtype=float).copy()
+        if self.periodic:
+            bx[:, 0] *= 0.5
+            bx[:, -1] *= 0.5
+        else:
+            bx[:, 0] = kbnd * self.bcs.vn_left
+            bx[:, -1] = kbnd * self.bcs.vn_right
         by[0, :] = kbnd * self.bcs.vn_top
         by[-1, :] = kbnd * self.bcs.vn_bottom
         b[: self.nvx] = bx.ravel()
@@ -162,6 +195,27 @@ class StokesOracle:
             kbnd = 4.0 * eta_char / min(self.dx, self.dy) ** 2
         A = self.assemble(eta_s, eta_n, kcont=kcont, kbnd=kbnd).tolil()
         b = self.rhs(rho_vx, rho_vy, gx, gy, kbnd=kbnd)
+        if self.periodic:
+            # The half-row assembly is singular (duplicate seam rows are
+            # identical).  For the direct solve: promote the i=0 seam rows
+            # to the FULL physical equation and replace the duplicate i=nx
+            # rows with tie rows  kbnd*(vx[:,nx] - vx[:,0]) = 0.
+            for j in range(self.ny):
+                r0, rn = self.ivx(j, 0), self.ivx(j, self.nx)
+                A.rows[r0] = list(A.rows[r0])
+                A.data[r0] = [2.0 * v for v in A.data[r0]]
+                b[r0] *= 2.0
+                A.rows[rn] = [self.ivx(j, 0), rn]
+                A.data[rn] = [-kbnd, kbnd]
+                b[rn] = 0.0
+            if self.bcs.top == "free_slip" and self.bcs.bottom == "free_slip":
+                # constant-vx nullspace: pin one vx DOF (the dropped row is
+                # in the span of the rest for a compatible RHS), then shift
+                # to the zero-mean gauge below
+                r = self.ivx(0, 1)
+                A.rows[r] = [r]
+                A.data[r] = [kbnd]
+                b[r] = 0.0
         # pin p[0,0]: replace its continuity row with kbnd * p = 0
         r = self.ip(0, 0)
         A.rows[r] = [r]
@@ -170,4 +224,6 @@ class StokesOracle:
         u = spla.spsolve(A.tocsr(), b)
         vx, vy, p = self.split(u)
         p = p - p.mean()
+        if self.periodic and self.bcs.top == "free_slip" and self.bcs.bottom == "free_slip":
+            vx = vx - vx[:, :-1].mean()
         return vx, vy, p
