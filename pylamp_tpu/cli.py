@@ -14,6 +14,7 @@ import sys
 
 BENCHMARKS = {
     "falling_block": "falling_block",
+    "falling_block_periodic": "falling_block_periodic",
     "blankenbach": "blankenbach_case1a",
     "fk_stagnant_lid": "fk_stagnant_lid",
     "rt_van_keken": "rt_van_keken",

@@ -19,12 +19,17 @@ def _padded_velocity(vx, vy, bcs: VelocityBCs):
     """Ghost-padded velocity grids covering the full domain.
 
     vx: (ny+2, nx+1) with origin (-dy/2, 0); vy: (ny+1, nx+2) with origin
-    (0, -dx/2)."""
+    (0, -dx/2).  Periodic sides: vy's ghost columns wrap (vx already has
+    both seam columns)."""
     top = bcs.s_top * vx[:1] + (1.0 - bcs.s_top) * bcs.vt_top
     bot = bcs.s_bottom * vx[-1:] + (1.0 - bcs.s_bottom) * bcs.vt_bottom
     vx_p = jnp.concatenate([top, vx, bot], axis=0)
-    left = bcs.s_left * vy[:, :1] + (1.0 - bcs.s_left) * bcs.vt_left
-    right = bcs.s_right * vy[:, -1:] + (1.0 - bcs.s_right) * bcs.vt_right
+    if bcs.periodic_x:
+        left = vy[:, -1:]
+        right = vy[:, :1]
+    else:
+        left = bcs.s_left * vy[:, :1] + (1.0 - bcs.s_left) * bcs.vt_left
+        right = bcs.s_right * vy[:, -1:] + (1.0 - bcs.s_right) * bcs.vt_right
     vy_p = jnp.concatenate([left, vy, right], axis=1)
     return vx_p, vy_p
 
@@ -43,7 +48,11 @@ def _bilinear(f, fx, fy, nx_n, ny_n):
 
 
 def velocity_at(px, py, vx, vy, grid: StaggeredGrid, bcs: VelocityBCs):
-    """Bilinear marker velocity from the ghost-padded staggered grids."""
+    """Bilinear marker velocity from the ghost-padded staggered grids.
+    With periodic sides the positions are wrapped into [0, lx) first (the
+    flat gather has no locality constraint, unlike the bucket engine)."""
+    if bcs.periodic_x:
+        px = px - grid.lx * jnp.floor(px / grid.lx)
     vx_p, vy_p = _padded_velocity(vx, vy, bcs)
     dx, dy = grid.dx, grid.dy
     # vx lattice: x = i*dx, y = (j-1/2)*dy for padded row j
@@ -70,7 +79,11 @@ def advect_rk4(px, py, vx, vy, dt, grid: StaggeredGrid, bcs: VelocityBCs):
 
     eps_x = 1e-6 * grid.dx
     eps_y = 1e-6 * grid.dy
+    if bcs.periodic_x:
+        x_out = nx_new - grid.lx * jnp.floor(nx_new / grid.lx)
+    else:
+        x_out = jnp.clip(nx_new, eps_x, grid.lx - eps_x)
     return (
-        jnp.clip(nx_new, eps_x, grid.lx - eps_x),
+        x_out,
         jnp.clip(ny_new, eps_y, grid.ly - eps_y),
     )

@@ -110,16 +110,24 @@ def flatten(bm: BucketedMarkers):
 
 # -- local coordinates on a target sub-lattice -----------------------------------
 
-def _lattice_local(bm_x, bm_y, grid: StaggeredGrid, loc: str):
+def _lattice_local(bm_x, bm_y, grid: StaggeredGrid, loc: str,
+                   periodic_x: bool = False):
     """Per-marker (o_j, o_i, ty, tx) relative to the marker's OWN grid cell:
     the target-lattice cell containing the marker starts at bucket-cell
     offset (o_j, o_i); (ty, tx) in [0,1] are the local coordinates.  Clamped
-    exactly like the flat path's _locate (interp.py)."""
+    exactly like the flat path's _locate (interp.py).
+
+    ``periodic_x``: no x clamp — markers near the seam keep their natural
+    i0 (can be -1 on the half-offset lattices); the wrap happens where the
+    cell sums land on node columns (mod nx)."""
     oy, ox = grid.origin(loc)
     ny_n, nx_n = grid.shape(loc)
     fx = (bm_x - ox) / grid.dx
     fy = (bm_y - oy) / grid.dy
-    i0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx_n - 2)
+    if periodic_x:
+        i0 = jnp.floor(fx).astype(jnp.int32)
+    else:
+        i0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx_n - 2)
     j0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny_n - 2)
     tx = jnp.clip(fx - i0, 0.0, 1.0)
     ty = jnp.clip(fy - j0, 0.0, 1.0)
@@ -146,6 +154,33 @@ def _shift2d(f, a, b):
     ]
 
 
+def _shift2d_px(f, a, b):
+    """f[j+a, (i+b) mod nx]: zero-padded in y, wrap-around in x."""
+    ny, _ = f.shape
+    t = jnp.roll(f, -b, axis=1)
+    return jnp.pad(t, ((max(-a, 0), max(a, 0)), (0, 0)))[
+        max(a, 0) : max(a, 0) + ny, :
+    ]
+
+
+def _cells_to_nodes_px(s, a, b, ny_n):
+    """Periodic-x scatter of cell-indexed partial sums (ny, nx) onto the
+    unique node columns: node (j+a, (i+b) mod nx) += s[j, i].  Returns the
+    (ny_n, nx) unique-column node array for this (a, b) offset."""
+    ny, nx = s.shape
+    rolled = jnp.roll(s, b, axis=1)  # node col m <- cell col (m - b) mod nx
+    r0 = max(a, 0)
+    j0 = max(-a, 0)
+    n = min(ny - j0, ny_n - r0)
+    out = jnp.zeros((ny_n, nx), s.dtype)
+    return out.at[r0 : r0 + n, :].set(rolled[j0 : j0 + n, :])
+
+
+def _wrap_x(px, lx):
+    """Wrap x positions into [0, lx)."""
+    return px - lx * jnp.floor(px / lx)
+
+
 # -- marker -> grid ---------------------------------------------------------------
 
 def bucket_markers_to_grid(
@@ -154,11 +189,15 @@ def bucket_markers_to_grid(
     grid: StaggeredGrid,
     loc: str,
     mode: str = ARITHMETIC,
+    periodic_x: bool = False,
 ):
     """Weighted mean of marker values on the ``loc`` sub-lattice.
-    Returns (field, wsum) like markers_to_grid."""
+    Returns (field, wsum) like markers_to_grid.
+
+    ``periodic_x``: accumulation wraps in x (period nx); lattices with a
+    duplicated seam column return EQUAL full values in columns 0 and nx."""
     ny_n, nx_n = grid.shape(loc)
-    o_j, o_i, ty, tx = _lattice_local(bm.x, bm.y, grid, loc)
+    o_j, o_i, ty, tx = _lattice_local(bm.x, bm.y, grid, loc, periodic_x)
     ws = _weights(ty, tx)
 
     vmask = bm.valid
@@ -179,8 +218,9 @@ def bucket_markers_to_grid(
     # markers with o_j + dj == a and o_i + di == b.
     corners = ((0, 0, ws[0]), (0, 1, ws[1]), (1, 0, ws[2]), (1, 1, ws[3]))
     zero = jnp.zeros((grid.ny, grid.nx), v.dtype)
-    field_wv = jnp.zeros((ny_n, nx_n), v.dtype)
-    field_w = jnp.zeros((ny_n, nx_n), v.dtype)
+    nxu = grid.nx if periodic_x else nx_n  # unique node columns
+    field_wv = jnp.zeros((ny_n, nxu), v.dtype)
+    field_w = jnp.zeros((ny_n, nxu), v.dtype)
     # o in {-1, 0, +1} covers every sub-lattice (clamping keeps it there)
     for a in (-1, 0, 1):
         for b in (-1, 0, 1):
@@ -191,6 +231,10 @@ def bucket_markers_to_grid(
                 wm = jnp.where(sel, w, 0.0)
                 s_wv = s_wv + jnp.sum(wm * v, axis=-1)
                 s_w = s_w + jnp.sum(wm, axis=-1)
+            if periodic_x:
+                field_wv = field_wv + _cells_to_nodes_px(s_wv, a, b, ny_n)
+                field_w = field_w + _cells_to_nodes_px(s_w, a, b, ny_n)
+                continue
             # cell (j,i) contributes to node (j+a, i+b): node array gets the
             # cell array shifted by (-a, -b)
             pad_wv = jnp.zeros((ny_n, nx_n), v.dtype)
@@ -199,6 +243,11 @@ def bucket_markers_to_grid(
             pad_w = pad_w.at[: grid.ny, : grid.nx].set(s_w)
             field_wv = field_wv + _shift2d(pad_wv, -a, -b)
             field_w = field_w + _shift2d(pad_w, -a, -b)
+
+    if periodic_x and nx_n == grid.nx + 1:
+        # duplicate the seam column (full equal values, solution-like)
+        field_wv = jnp.concatenate([field_wv, field_wv[:, :1]], axis=1)
+        field_w = jnp.concatenate([field_w, field_w[:, :1]], axis=1)
 
     mean = field_wv / jnp.where(field_w == 0, 1.0, field_w)
     if mode == GEOMETRIC:
@@ -218,20 +267,27 @@ def bucket_grid_to_markers(
     grid: StaggeredGrid,
     loc: str,
     reach: int = 1,
+    periodic_x: bool = False,
 ):
     """Bilinear gather replaced by masked dense shifts.  ``reach`` bounds
     |o + d|: 1 for in-cell markers, 2 for RK4 stage positions displaced by
-    up to one cell."""
-    o_j, o_i, ty, tx = _lattice_local(px, py, grid, loc)
+    up to one cell.  ``periodic_x``: node columns wrap with period nx."""
+    o_j, o_i, ty, tx = _lattice_local(px, py, grid, loc, periodic_x)
     ws = _weights(ty, tx)
     corners = ((0, 0, ws[0]), (0, 1, ws[1]), (1, 0, ws[2]), (1, 1, ws[3]))
 
     out = jnp.zeros(px.shape, field.dtype)
     pad = reach + 2
-    fp = jnp.pad(field, pad)
+    if periodic_x:
+        core = field[:, : grid.nx]  # unique columns (period nx)
+        ext = jnp.concatenate([core[:, -pad:], core, core[:, :pad]], axis=1)
+        fp = jnp.pad(ext, ((pad, pad), (0, 0)))
+    else:
+        fp = jnp.pad(field, pad)
     for a in range(-reach, reach + 2):
         for b in range(-reach, reach + 2):
             # lattice node (j+a, i+b) for every cell (j, i), zero outside
+            # (wrapped in x for periodic)
             fab = fp[pad + a : pad + a + grid.ny, pad + b : pad + b + grid.nx]
             contrib = jnp.zeros(px.shape, field.dtype)
             for dj, di, w in corners:
@@ -243,30 +299,44 @@ def bucket_grid_to_markers(
 
 # -- velocity sampling + RK4 advection --------------------------------------------
 
-def _bucket_velocity_at(px, py, valid, vx_p, vy_p, grid: StaggeredGrid, reach: int):
+def _bucket_velocity_at(px, py, valid, vx_p, vy_p, grid: StaggeredGrid, reach: int,
+                        periodic_x: bool = False):
     """Velocity at positions from ghost-padded staggered grids.
 
     vx_p: (ny+2, nx+1) with origin (-dy/2, 0); vy_p: (ny+1, nx+2) with
-    origin (0, -dx/2) (see markers/advect.py)."""
+    origin (0, -dx/2) (see markers/advect.py).  With ``periodic_x`` the
+    lattices wrap (period nx in array columns: vx_p column offset 0, vy_p
+    column offset 1) so UNWRAPPED stage positions just past the seam sample
+    the other side — positions themselves must not be wrapped mid-step or
+    the dense-shift locality (o relative to the bucket cell) breaks."""
     dx, dy = grid.dx, grid.dy
 
     # fx, fy below are ARRAY coordinates of the padded lattices: node at
     # array index (r, c) has (fy, fx) == (r, c).
-    ux = _sample_padded(vx_p, px / dx, py / dy + 0.5, valid, grid, reach)
-    uy = _sample_padded(vy_p, px / dx + 0.5, py / dy, valid, grid, reach)
+    ux = _sample_padded(vx_p, px / dx, py / dy + 0.5, valid, grid, reach,
+                        periodic_x=periodic_x, col_offset=0)
+    uy = _sample_padded(vy_p, px / dx + 0.5, py / dy, valid, grid, reach,
+                        periodic_x=periodic_x, col_offset=1)
     return ux, uy
 
 
-def _sample_padded(f, fx, fy, valid, grid: StaggeredGrid, reach):
+def _sample_padded(f, fx, fy, valid, grid: StaggeredGrid, reach,
+                   periodic_x: bool = False, col_offset: int = 0):
     """Bilinear sample of a lattice in array coordinates (node (r, c) at
     (fy, fx) = (r, c)) -- dense-shift implementation.
 
     For both padded velocity lattices an in-cell marker has array offsets
     o = (node_index - cell_index) in {0, 1}; RK4 stage positions displaced
     by up to one cell widen this to {-1, .., 2}, hence the (o + d) loop
-    range {-reach, .., reach+1}."""
+    range {-reach, .., reach+1}.
+
+    ``periodic_x``: array column c samples f_core[(c - col_offset) mod nx]
+    where f_core = f[:, col_offset : col_offset + nx] (the unique period)."""
     nr, nc = f.shape
-    i0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nc - 2)
+    if periodic_x:
+        i0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), -reach, nc - 2 + reach)
+    else:
+        i0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nc - 2)
     j0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, nr - 2)
     tx = jnp.clip(fx - i0, 0.0, 1.0)
     ty = jnp.clip(fy - j0, 0.0, 1.0)
@@ -279,7 +349,15 @@ def _sample_padded(f, fx, fy, valid, grid: StaggeredGrid, reach):
 
     out = jnp.zeros(fx.shape, f.dtype)
     pad = reach + 2
-    fp = jnp.pad(f, pad)
+    if periodic_x:
+        import numpy as _np
+
+        core = f[:, col_offset : col_offset + grid.nx]
+        idx = (_np.arange(-pad, grid.nx + pad) - col_offset) % grid.nx
+        ext = core[:, idx]  # ext col (pad + c) == array col c, wrapped
+        fp = jnp.pad(ext, ((pad, pad), (0, 0)))
+    else:
+        fp = jnp.pad(f, pad)
     for a in range(-reach, reach + 2):
         for b in range(-reach, reach + 2):
             # array node (j + a, i + b) for every cell (j, i)
@@ -301,16 +379,25 @@ def bucket_advect_rk4(
     ``stage_reach``: shift reach for the displaced RK stage positions.
     2 covers displacements up to one full cell; callers whose dt guarantees
     <= half a cell (Courant <= 0.5, no moving walls) may pass 1, roughly
-    halving the advection cost (16 vs 36 shifted slabs per stage)."""
+    halving the advection cost (16 vs 36 shifted slabs per stage).
+
+    Periodic side walls: velocity sampling wraps in x and final positions
+    wrap into [0, lx) (rebucket handles the seam-crossing cell change)."""
+    periodic = bcs.periodic_x
     top = bcs.s_top * vx[:1] + (1.0 - bcs.s_top) * bcs.vt_top
     bot = bcs.s_bottom * vx[-1:] + (1.0 - bcs.s_bottom) * bcs.vt_bottom
     vx_p = jnp.concatenate([top, vx, bot], axis=0)
-    left = bcs.s_left * vy[:, :1] + (1.0 - bcs.s_left) * bcs.vt_left
-    right = bcs.s_right * vy[:, -1:] + (1.0 - bcs.s_right) * bcs.vt_right
+    if periodic:
+        left = vy[:, -1:]
+        right = vy[:, :1]
+    else:
+        left = bcs.s_left * vy[:, :1] + (1.0 - bcs.s_left) * bcs.vt_left
+        right = bcs.s_right * vy[:, -1:] + (1.0 - bcs.s_right) * bcs.vt_right
     vy_p = jnp.concatenate([left, vy, right], axis=1)
 
     def vel(px, py, reach):
-        return _bucket_velocity_at(px, py, bm.valid, vx_p, vy_p, grid, reach)
+        return _bucket_velocity_at(px, py, bm.valid, vx_p, vy_p, grid, reach,
+                                   periodic_x=periodic)
 
     x, y = bm.x, bm.y
     k1x, k1y = vel(x, y, 1)
@@ -322,18 +409,26 @@ def bucket_advect_rk4(
     ny_new = y + dt / 6.0 * (k1y + 2 * k2y + 2 * k3y + k4y)
     eps_x = 1e-6 * grid.dx
     eps_y = 1e-6 * grid.dy
+    if periodic:
+        new_x = _wrap_x(nx_new, grid.lx)
+    else:
+        new_x = jnp.clip(nx_new, eps_x, grid.lx - eps_x)
     return bm.replace(
-        x=jnp.clip(nx_new, eps_x, grid.lx - eps_x),
+        x=new_x,
         y=jnp.clip(ny_new, eps_y, grid.ly - eps_y),
     )
 
 
 # -- re-bucketing ------------------------------------------------------------------
 
-def rebucket(bm: BucketedMarkers, grid: StaggeredGrid):
+def rebucket(bm: BucketedMarkers, grid: StaggeredGrid,
+             periodic_x: bool = False):
     """Re-pack every bucket from its 3x3 neighborhood (markers move at most
     one cell per step under Courant <= 1).  One sequential pass over the 9K
     candidate slots; each insert is a one-hot fma over the K lanes.
+
+    ``periodic_x``: the 3x3 neighborhood wraps in x — a marker crossing the
+    seam (wrapped position) re-packs into the opposite edge column.
 
     Returns (new_bm, dropped): `dropped` counts capacity overflows."""
     ny, nx, K = bm.x.shape
@@ -343,7 +438,11 @@ def rebucket(bm: BucketedMarkers, grid: StaggeredGrid):
     cj = lax.broadcasted_iota(jnp.int32, (ny, nx, K), 0)
     ti = jnp.clip((bm.x / dx).astype(jnp.int32), 0, nx - 1)
     tj = jnp.clip((bm.y / dy).astype(jnp.int32), 0, ny - 1)
-    stays_di = ti - ci  # in {-1, 0, 1}
+    if periodic_x:
+        # wrapped cell offset in {-1, 0, 1} (needs nx >= 3)
+        stays_di = (ti - ci + 1) % nx - 1
+    else:
+        stays_di = ti - ci  # in {-1, 0, 1}
     stays_dj = tj - cj
 
     slot_ids = lax.broadcasted_iota(jnp.int32, (K,), 0)
@@ -359,7 +458,13 @@ def rebucket(bm: BucketedMarkers, grid: StaggeredGrid):
     )
 
     def _shift3(arr, a, b):
-        """(ny, nx, K) array shifted by (a, b) in the cell dims."""
+        """(ny, nx, K) array shifted by (a, b) in the cell dims (x wraps
+        when periodic)."""
+        if periodic_x:
+            t = jnp.roll(arr, -b, axis=1)
+            return jnp.pad(t, ((max(-a, 0), max(a, 0)), (0, 0), (0, 0)))[
+                max(a, 0) : max(a, 0) + ny, :, :
+            ]
         return jnp.pad(
             arr, ((max(-a, 0), max(a, 0)), (max(-b, 0), max(b, 0)), (0, 0))
         )[max(a, 0) : max(a, 0) + ny, max(b, 0) : max(b, 0) + nx, :]
@@ -415,15 +520,18 @@ def bucket_reseed(
     grid: StaggeredGrid,
     min_per_cell: int,
     n_materials: int = 8,
+    periodic_x: bool = False,
 ):
     """Fill cells below ``min_per_cell`` up from empty slots: new markers at
     deterministic sub-cell positions, T from the grid, material = 3x3
     neighborhood majority (dense one-hot histogram over the config's
-    ``n_materials`` material ids)."""
+    ``n_materials`` material ids; the neighborhood wraps in x when
+    ``periodic_x``)."""
     ny, nx, K = bm.x.shape
     count = bm.count()
     deficit = jnp.maximum(min_per_cell - count, 0)
 
+    shift = _shift2d_px if periodic_x else _shift2d
     NMAT = n_materials
     hist = jnp.zeros((ny, nx, NMAT), jnp.int32)
     for m in range(NMAT):
@@ -434,7 +542,7 @@ def bucket_reseed(
     for a in (-1, 0, 1):
         for b in (-1, 0, 1):
             acc = acc + jnp.stack(
-                [_shift2d(hist[:, :, m], a, b) for m in range(NMAT)], axis=-1
+                [shift(hist[:, :, m], a, b) for m in range(NMAT)], axis=-1
             )
     majority = jnp.argmax(acc, axis=-1).astype(jnp.int32)
 
@@ -452,7 +560,8 @@ def bucket_reseed(
 
     new_x = jnp.where(spawn, sx.astype(bm.x.dtype), bm.x)
     new_y = jnp.where(spawn, sy.astype(bm.y.dtype), bm.y)
-    T_at = bucket_grid_to_markers(T_grid, new_x, new_y, spawn, grid, "corner")
+    T_at = bucket_grid_to_markers(T_grid, new_x, new_y, spawn, grid, "corner",
+                                  periodic_x=periodic_x)
     new_T = jnp.where(spawn, T_at.astype(bm.T.dtype), bm.T)
     new_mat = jnp.where(spawn, majority[:, :, None], bm.mat)
     return bm.replace(

@@ -31,12 +31,16 @@ def _cell_ids(x, y, grid: StaggeredGrid):
     return j * grid.nx + i
 
 
-def _neighborhood_majority(hist, grid: StaggeredGrid):
+def _neighborhood_majority(hist, grid: StaggeredGrid, periodic_x=False):
     """hist: (ncells, nmat) -> majority material over each cell's 3x3
-    neighborhood."""
+    neighborhood (wrapped in x when ``periodic_x``)."""
     nmat = hist.shape[1]
     h = hist.reshape(grid.ny, grid.nx, nmat)
-    hp = jnp.pad(h, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    hp = jnp.pad(h, ((1, 1), (0, 0), (0, 0)), mode="edge")
+    if periodic_x:
+        hp = jnp.concatenate([hp[:, -1:], hp, hp[:, :1]], axis=1)
+    else:
+        hp = jnp.pad(hp, ((0, 0), (1, 1), (0, 0)), mode="edge")
     acc = sum(
         hp[1 + dj : grid.ny + 1 + dj, 1 + di : grid.nx + 1 + di]
         for dj in (-1, 0, 1)
@@ -52,6 +56,7 @@ def reseed_starved(
     n_materials: int,
     min_per_cell: int = 2,
     max_moves: int = 256,
+    periodic_x: bool = False,
 ) -> MarkerState:
     ncells = grid.nx * grid.ny
     max_moves = min(max_moves, ncells)
@@ -63,7 +68,7 @@ def reseed_starved(
     onehot = jnp.zeros((ncells, n_materials), jnp.int32).at[
         cid, markers.mat
     ].add(1)
-    majority = _neighborhood_majority(onehot, grid)
+    majority = _neighborhood_majority(onehot, grid, periodic_x)
 
     # sorted marker order by cell -> segment starts
     order = jnp.argsort(cid)
@@ -95,7 +100,8 @@ def reseed_starved(
     new_y = markers.y.at[donor_marker].set(
         jnp.where(do_move, dst_y.astype(markers.y.dtype), markers.y[donor_marker])
     )
-    T_at_dst = grid_to_markers(T_grid, dst_x, dst_y, grid, "corner")
+    T_at_dst = grid_to_markers(T_grid, dst_x, dst_y, grid, "corner",
+                               periodic_x=periodic_x)
     new_T = markers.T.at[donor_marker].set(
         jnp.where(do_move, T_at_dst.astype(markers.T.dtype), markers.T[donor_marker])
     )

@@ -77,6 +77,42 @@ def falling_block(nx=64, ny=64, eta_block=1.0, rho_block=2.0, max_steps=20):
     )
 
 
+# -- periodic-sides variant: block straddling the wrap-around seam ------------
+
+def falling_block_periodic(nx=64, ny=64, eta_block=1.0, rho_block=2.0,
+                           max_steps=20):
+    """Falling block with PERIODIC side walls, centered ON the seam (x = 0
+    == x = lx): the block is split across the two array edges and must sink
+    as one coherent body through the wrap-around — the demonstration config
+    for the periodic lateral BCs (core/bc.py PERIODIC)."""
+    ambient = Material(name="ambient", rho0=1.0, eta0=1.0, viscosity="constant")
+    block = Material(name="block", rho0=rho_block, eta0=eta_block,
+                     viscosity="constant")
+
+    def material_of(x, y):
+        dxp = np.abs(x - 0.0)
+        dxp = np.minimum(dxp, 1.0 - dxp)  # periodic x-distance to the seam
+        return ((dxp < 0.15) & (np.abs(y - 0.25) < 0.15)).astype(np.int32)
+
+    return ModelConfig(
+        nx=nx, ny=ny, lx=1.0, ly=1.0,
+        physics=PhysicsConfig(
+            gx=0.0, gy=1.0,
+            materials=(ambient, block),
+            velocity_bcs=VelocityBCs(left="periodic", right="periodic"),
+            thermal_bcs=ThermalBCs(
+                left=ThermalBC("periodic", 0.0), right=ThermalBC("periodic", 0.0)
+            ),
+            solve_energy=False,
+            eta_avg="geometric",
+        ),
+        solver=SolverConfig(),
+        time=TimeConfig(courant=0.5, max_steps=max_steps),
+        material_of=material_of,
+        name="falling_block_periodic",
+    )
+
+
 # -- config 2: Blankenbach case 1a --------------------------------------------
 
 BLANKENBACH_1A_NU = 4.884409  # Blankenbach et al. (1989) benchmark value

@@ -78,27 +78,34 @@ def build(cfg: ModelConfig, dtype=jnp.float64):
             cfg.physics.eta_min,
             cfg.physics.eta_max,
         )
+        periodic = cfg.physics.velocity_bcs.periodic_x
         if cfg.marker_engine == "bucket":
             from pylamp_tpu.markers.bucket import bucket_markers_to_grid
 
             eta_s, _ = bucket_markers_to_grid(
-                markers, eta_m, grid, "corner", cfg.physics.eta_avg
+                markers, eta_m, grid, "corner", cfg.physics.eta_avg,
+                periodic_x=periodic,
             )
             eta_n, _ = bucket_markers_to_grid(
-                markers, eta_m, grid, "center", cfg.physics.eta_avg
+                markers, eta_m, grid, "center", cfg.physics.eta_avg,
+                periodic_x=periodic,
             )
             T_g, _ = bucket_markers_to_grid(
-                markers, markers.T, grid, "corner", "arithmetic"
+                markers, markers.T, grid, "corner", "arithmetic",
+                periodic_x=periodic,
             )
         else:
             eta_s, _ = markers_to_grid(
-                markers.x, markers.y, eta_m, grid, "corner", cfg.physics.eta_avg
+                markers.x, markers.y, eta_m, grid, "corner", cfg.physics.eta_avg,
+                periodic_x=periodic,
             )
             eta_n, _ = markers_to_grid(
-                markers.x, markers.y, eta_m, grid, "center", cfg.physics.eta_avg
+                markers.x, markers.y, eta_m, grid, "center", cfg.physics.eta_avg,
+                periodic_x=periodic,
             )
             T_g, _ = markers_to_grid(
-                markers.x, markers.y, markers.T, grid, "corner", "arithmetic"
+                markers.x, markers.y, markers.T, grid, "corner", "arithmetic",
+                periodic_x=periodic,
             )
         return state.replace(eta_s=eta_s, eta_n=eta_n, T=T_g)
 

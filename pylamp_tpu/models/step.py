@@ -39,22 +39,28 @@ from pylamp_tpu.solvers.energy_solver import solve_energy, solve_energy_mixed
 from pylamp_tpu.solvers.stokes_solver import solve_stokes, solve_stokes_mixed
 
 
-def _m2g(markers, vals, grid, loc, mode):
+def _m2g(markers, vals, grid, loc, mode, periodic_x=False):
     """Engine-dispatching marker->grid transfer."""
     if isinstance(markers, BucketedMarkers):
-        return bucket_markers_to_grid(markers, vals, grid, loc, mode)
-    return markers_to_grid(markers.x, markers.y, vals, grid, loc, mode)
+        return bucket_markers_to_grid(markers, vals, grid, loc, mode,
+                                      periodic_x=periodic_x)
+    return markers_to_grid(markers.x, markers.y, vals, grid, loc, mode,
+                           periodic_x=periodic_x)
 
 
-def _g2m(markers, field, grid, loc):
+def _g2m(markers, field, grid, loc, periodic_x=False):
     """Engine-dispatching grid->marker interpolation."""
     if isinstance(markers, BucketedMarkers):
-        return bucket_grid_to_markers(field, markers.x, markers.y, markers.valid, grid, loc)
-    return grid_to_markers(field, markers.x, markers.y, grid, loc)
+        return bucket_grid_to_markers(field, markers.x, markers.y,
+                                      markers.valid, grid, loc,
+                                      periodic_x=periodic_x)
+    return grid_to_markers(field, markers.x, markers.y, grid, loc,
+                           periodic_x=periodic_x)
 
 
-def _interp_with_fallback(markers, vals, grid, loc, mode, fallback):
-    field, wsum = _m2g(markers, vals, grid, loc, mode)
+def _interp_with_fallback(markers, vals, grid, loc, mode, fallback,
+                          periodic_x=False):
+    field, wsum = _m2g(markers, vals, grid, loc, mode, periodic_x=periodic_x)
     return jnp.where(wsum > 0, field, fallback)
 
 
@@ -113,14 +119,22 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
         # assume markers move at most one cell per step
         raise ValueError("TimeConfig.courant must be <= 1")
 
+    periodic = vbc.periodic_x
+    if phys.solve_energy and periodic != tbc.periodic_x:
+        raise ValueError(
+            "periodic side walls must be set on BOTH the velocity and "
+            "thermal BCs (the domain either wraps in x or it doesn't)"
+        )
+
     # explicit shard_map halo exchange for the stencil applies (SURVEY.md
     # §2.3 SP row); only meaningful for domain-decomposed runs
     halo_mesh = mesh if (mesh is not None and solver.explicit_halo) else None
 
     # explicit-halo marker engine (parallel/halo_markers.py): every marker
     # operation under shard_map+ppermute when the bucket blocks are eligible
+    # (no wrap-around exchange path yet: GSPMD partitions the periodic rolls)
     marker_halo_mesh = None
-    if halo_mesh is not None:
+    if halo_mesh is not None and not periodic:
         from pylamp_tpu.parallel.halo_markers import halo_markers_eligible
 
         if halo_markers_eligible(grid, halo_mesh):
@@ -131,7 +145,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             from pylamp_tpu.parallel.halo_markers import m2g_halo
 
             return m2g_halo(m, vals, grid, loc, mode, marker_halo_mesh)
-        return _m2g(m, vals, grid, loc, mode)
+        return _m2g(m, vals, grid, loc, mode, periodic_x=periodic)
 
     def _disp_g2m(m, field, loc):
         if marker_halo_mesh is not None and isinstance(m, BucketedMarkers):
@@ -140,7 +154,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             return g2m_halo(
                 field, m.x, m.y, m.valid, grid, loc, marker_halo_mesh
             )
-        return _g2m(m, field, grid, loc)
+        return _g2m(m, field, grid, loc, periodic_x=periodic)
 
     def _disp_interp_fb(m, vals, loc, mode, fallback):
         field, wsum = _disp_m2g(m, vals, loc, mode)
@@ -208,6 +222,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             if (solver.use_pallas_m2g
                     and mesh is None
                     and not batched
+                    and not periodic  # the fused kernel has no wrap path
                     and dtype == jnp.float32
                     and m2g_fused_eligible(_ny, _nx, _K)):
                 return _interp_fused(m, rho_m, k_m, rhocp_m, H_m, state)
@@ -457,6 +472,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             elif (solver.use_pallas_advect
                     and mesh is None
                     and not batched
+                    and not periodic  # no wrap path in the fused kernel
                     and markers.x.dtype == jnp.float32
                     and advect_rk4_eligible(_ny, _nx, _K)):
                 # fused VMEM RK4 (5.7x, markers/pallas/advect_kernel.py)
@@ -477,11 +493,13 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 _ny, _nx, _K = markers.x.shape
                 if (mesh is None
                         and not batched
+                        and not periodic  # no wrap path in the kernel
                         and markers.x.dtype == jnp.float32
                         and rebucket_eligible(_ny, _nx, _K)):
                     markers, dropped = rebucket_pallas(markers, grid)
                 else:
-                    markers, dropped = rebucket(markers, grid)
+                    markers, dropped = rebucket(markers, grid,
+                                                periodic_x=periodic)
             diag["markers_dropped"] = dropped
             diag["marker_count"] = markers.total()
             if phys.reseed_min_per_cell > 0:
@@ -499,6 +517,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                         markers, T_new, grid,
                         min_per_cell=phys.reseed_min_per_cell,
                         n_materials=len(table),
+                        periodic_x=periodic,
                     )
         else:
             px, py = advect_rk4(markers.x, markers.y, vx, vy, dt, grid, vbc)
@@ -515,6 +534,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                     n_materials=len(table),
                     min_per_cell=phys.reseed_min_per_cell,
                     max_moves=phys.reseed_max_moves,
+                    periodic_x=periodic,
                 )
         return markers, diag
 

@@ -71,6 +71,23 @@ def _pad_mirror(T, k):
     return Tp, kp
 
 
+def _pad_x_periodic(a):
+    """Wrap-pad one ghost column per side of a corner-lattice array whose
+    column nx duplicates column 0 (period nx): the node west of column 0 is
+    column nx-1, the node east of column nx is column 1."""
+    return jnp.concatenate([a[:, -2:-1], a, a[:, 1:2]], axis=1)
+
+
+def _pad_ghost(T, k, periodic_x: bool):
+    """One ghost node per side: mirrored (Neumann walls), wrapped in x for
+    periodic side walls."""
+    if not periodic_x:
+        return _pad_mirror(T, k)
+    Tp = jnp.pad(T, ((1, 1), (0, 0)), mode="reflect")
+    kp = jnp.pad(k, ((1, 1), (0, 0)), mode="reflect")
+    return _pad_x_periodic(Tp), _pad_x_periodic(kp)
+
+
 def energy_operator(
     T,
     k,
@@ -85,7 +102,7 @@ def energy_operator(
 
     ``halo_mesh``: route through the explicit shard_map + ppermute halo
     path (parallel/halo_ops.py) instead of GSPMD partitioning."""
-    if halo_mesh is not None:
+    if halo_mesh is not None and not bcs.periodic_x:
         from pylamp_tpu.parallel.halo_ops import energy_operator_halo, halo_eligible
 
         if halo_eligible(grid, halo_mesh):
@@ -93,7 +110,7 @@ def energy_operator(
                 T, k, rhocp_over_dt, grid, bcs, halo_mesh, kbnd=kbnd, k_avg=k_avg
             )
     dx, dy = grid.dx, grid.dy
-    Tp, kp = _pad_mirror(T, k)
+    Tp, kp = _pad_ghost(T, k, bcs.periodic_x)
 
     kx = _face_k(kp, 1, k_avg)  # (ny+3, nx+2)
     ky = _face_k(kp, 0, k_avg)  # (ny+2, nx+3)
@@ -105,6 +122,10 @@ def energy_operator(
     ) / dy  # (ny+1, nx+1)
 
     r = rhocp_over_dt * T - div
+    if bcs.periodic_x:
+        # seam columns 0 and nx are one physical node: half-row convention
+        # (core/bc.py) keeps the embedded operator symmetric
+        r = r.at[:, 0].mul(0.5).at[:, -1].mul(0.5)
 
     mask, _ = _dirichlet_masks(grid, bcs, T.dtype)
     return jnp.where(mask, kbnd * T, r)
@@ -131,6 +152,8 @@ def energy_rhs(
     """
     dx, dy = grid.dx, grid.dy
     b = rhocp_over_dt * T_old + H
+    if bcs.periodic_x:
+        b = b.at[:, 0].mul(0.5).at[:, -1].mul(0.5)
 
     kp = jnp.pad(k, 1, mode="reflect")
     kx = _face_k(kp, 1, k_avg)[1:-1, :]  # (ny+1, nx+2)

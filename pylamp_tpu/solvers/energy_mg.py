@@ -50,10 +50,22 @@ def prolong_corner(c):
     return _interleave_rows(e.T, mid_c.T).T  # (2NY+1, 2NX+1)
 
 
-def restrict_corner(f):
+def restrict_corner(f, periodic_x: bool = False):
     """Full weighting (P^T/4): fine (2NY+1, 2NX+1) -> coarse (NY+1, NX+1).
     Boundary rows use the truncated stencil (exact adjoint of the
-    prolongation above)."""
+    prolongation above).
+
+    ``periodic_x``: the fine seam columns (0 and 2NX, one physical node)
+    each carry HALF the residual (ops/energy.py half-row convention); fold
+    them, restrict with x wrap-around, and re-emit equal coarse halves."""
+    if periodic_x:
+        fu = f[:, :-1].at[:, 0].add(f[:, -1])  # unique columns, physical seam
+        fz = jnp.concatenate([fu[:, -1:], fu], axis=1)  # left wrap ghost
+        g = 0.5 * fz[:, 0:-2:2] + fz[:, 1:-1:2] + 0.5 * fz[:, 2::2]
+        gp = jnp.pad(g, ((1, 1), (0, 0)))
+        cu = (0.5 * gp[0:-2:2, :] + gp[1:-1:2, :] + 0.5 * gp[2::2, :]) / 4.0
+        seam = 0.5 * cu[:, :1]
+        return jnp.concatenate([seam, cu[:, 1:], seam], axis=1)
     fp = jnp.pad(f, 1)
     # x then y: coarse col I <- 0.5 f[2I-1] + f[2I] + 0.5 f[2I+1]
     g = 0.5 * fp[1:-1, 0:-2:2] + fp[1:-1, 1:-1:2] + 0.5 * fp[1:-1, 2::2]
@@ -157,7 +169,7 @@ def make_energy_mg_preconditioner(
         x = smooth(l, jnp.zeros_like(b), b, pre_smooth)
         r = b - apply_l(l, x)
         # Dirichlet rows belong to the smoother on each level
-        rc = restrict_corner(jnp.where(masks[l], 0.0, r))
+        rc = restrict_corner(jnp.where(masks[l], 0.0, r), bcs.periodic_x)
         ec = vcycle(l + 1, jnp.where(masks[l + 1], 0.0, rc))
         x = x + jnp.where(masks[l], 0.0, prolong_corner(ec))
         return smooth(l, x, b, post_smooth)

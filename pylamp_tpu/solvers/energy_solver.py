@@ -12,7 +12,13 @@ import jax.numpy as jnp
 
 from pylamp_tpu.core.bc import ThermalBCs
 from pylamp_tpu.core.grid import StaggeredGrid
-from pylamp_tpu.ops.energy import _dirichlet_masks, _face_k, energy_operator, energy_rhs
+from pylamp_tpu.ops.energy import (
+    _dirichlet_masks,
+    _face_k,
+    _pad_ghost,
+    energy_operator,
+    energy_rhs,
+)
 from pylamp_tpu.solvers.krylov import SolveInfo, cg, fcg
 
 
@@ -23,7 +29,7 @@ class EnergySolution(NamedTuple):
 
 def energy_diagonal(k, rhocp_over_dt, grid: StaggeredGrid, bcs: ThermalBCs, kbnd, k_avg):
     dx, dy = grid.dx, grid.dy
-    kp = jnp.pad(k, 1, mode="reflect")
+    _, kp = _pad_ghost(k, k, bcs.periodic_x)
     kx = _face_k(kp, 1, k_avg)  # (ny+3, nx+2)
     ky = _face_k(kp, 0, k_avg)  # (ny+2, nx+3)
     diag = (
@@ -31,6 +37,8 @@ def energy_diagonal(k, rhocp_over_dt, grid: StaggeredGrid, bcs: ThermalBCs, kbnd
         + (kx[1:-1, 1:] + kx[1:-1, :-1]) / dx**2
         + (ky[1:, 1:-1] + ky[:-1, 1:-1]) / dy**2
     )
+    if bcs.periodic_x:
+        diag = diag.at[:, 0].mul(0.5).at[:, -1].mul(0.5)
     mask, _ = _dirichlet_masks(grid, bcs, k.dtype)
     return jnp.where(mask, kbnd, diag)
 

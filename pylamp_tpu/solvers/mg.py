@@ -70,21 +70,46 @@ def prolong_vx(c, bcs: VelocityBCs):
     """Bilinear prolongation on the vx lattice (coarse (NY, NX+1) -> fine
     (2NY, 2NX+1)).  Fine even columns coincide with coarse columns; fine
     rows sit 1/4 and 3/4 of the way between coarse rows (ghost rows supply
-    the wall behaviour of the correction)."""
-    c = c.at[:, 0].set(0.0).at[:, -1].set(0.0)  # Dirichlet subspace excluded
+    the wall behaviour of the correction).
+
+    Periodic sides: the seam columns are real DOFs (solution-like arrays
+    carry equal values in cols 0 and NX), so they are interpolated like
+    interior columns — the x-interleave already wraps correctly through the
+    duplicated column."""
+    if not bcs.periodic_x:
+        c = c.at[:, 0].set(0.0).at[:, -1].set(0.0)  # Dirichlet subspace excluded
     cg = jnp.concatenate([bcs.s_top * c[:1], c, bcs.s_bottom * c[-1:]], axis=0)
     a0 = 0.25 * cg[:-2] + 0.75 * cg[1:-1]
     a1 = 0.75 * cg[1:-1] + 0.25 * cg[2:]
     e = _interleave_rows(a0, a1)  # (2NY, NX+1)
     odd = 0.5 * (e[:, :-1] + e[:, 1:])
     f = jnp.concatenate([_interleave_cols(e[:, :-1], odd), e[:, -1:]], axis=1)
-    # wall-normal Dirichlet columns belong to the smoother
-    f = f.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    if not bcs.periodic_x:
+        # wall-normal Dirichlet columns belong to the smoother
+        f = f.at[:, 0].set(0.0).at[:, -1].set(0.0)
     return f
 
 
 def restrict_vx(f, bcs: VelocityBCs):
-    """P^T/4 on the vx lattice (fine (2NY, 2NX+1) -> coarse (NY, NX+1))."""
+    """P^T/4 on the vx lattice (fine (2NY, 2NX+1) -> coarse (NY, NX+1)).
+
+    Periodic sides: the fine seam columns each carry HALF the physical
+    residual (ops/stokes.py half-row convention); fold them into one
+    unique-column array, restrict with x wrap-around, and re-emit the
+    coarse seam as equal halves."""
+    if bcs.periodic_x:
+        fg = jnp.concatenate([bcs.s_top * f[:1], f, bcs.s_bottom * f[-1:]], axis=0)
+        g = (
+            0.25 * fg[0:-3:2]
+            + 0.75 * fg[1:-2:2]
+            + 0.75 * fg[2:-1:2]
+            + 0.25 * fg[3::2]
+        )  # (NY, 2NX+1), still half-valued at the seam columns
+        gu = g[:, :-1].at[:, 0].add(g[:, -1])  # unique columns, physical seam
+        gz = jnp.concatenate([gu[:, -1:], gu], axis=1)  # left wrap ghost
+        cu = (0.5 * gz[:, 0:-2:2] + 1.0 * gz[:, 1:-1:2] + 0.5 * gz[:, 2::2]) / 4.0
+        seam = 0.5 * cu[:, :1]
+        return jnp.concatenate([seam, cu[:, 1:], seam], axis=1)
     f = f.at[:, 0].set(0.0).at[:, -1].set(0.0)
     fg = jnp.concatenate([bcs.s_top * f[:1], f, bcs.s_bottom * f[-1:]], axis=0)
     # y: coarse row J <- 0.25 f[2J-1] + 0.75 f[2J] + 0.75 f[2J+1] + 0.25 f[2J+2]
@@ -106,7 +131,10 @@ def restrict_vx(f, bcs: VelocityBCs):
 
 def prolong_vy(c, bcs: VelocityBCs):
     c = c.at[0, :].set(0.0).at[-1, :].set(0.0)
-    cg = jnp.concatenate([bcs.s_left * c[:, :1], c, bcs.s_right * c[:, -1:]], axis=1)
+    if bcs.periodic_x:
+        cg = jnp.concatenate([c[:, -1:], c, c[:, :1]], axis=1)
+    else:
+        cg = jnp.concatenate([bcs.s_left * c[:, :1], c, bcs.s_right * c[:, -1:]], axis=1)
     a0 = 0.25 * cg[:, :-2] + 0.75 * cg[:, 1:-1]
     a1 = 0.75 * cg[:, 1:-1] + 0.25 * cg[:, 2:]
     e = _interleave_cols(a0, a1)  # (NY+1, 2NX)
@@ -118,7 +146,10 @@ def prolong_vy(c, bcs: VelocityBCs):
 
 def restrict_vy(f, bcs: VelocityBCs):
     f = f.at[0, :].set(0.0).at[-1, :].set(0.0)
-    fg = jnp.concatenate([bcs.s_left * f[:, :1], f, bcs.s_right * f[:, -1:]], axis=1)
+    if bcs.periodic_x:
+        fg = jnp.concatenate([f[:, -1:], f, f[:, :1]], axis=1)
+    else:
+        fg = jnp.concatenate([bcs.s_left * f[:, :1], f, bcs.s_right * f[:, -1:]], axis=1)
     g = (
         0.25 * fg[:, 0:-3:2]
         + 0.75 * fg[:, 1:-2:2]
@@ -170,7 +201,7 @@ def momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd, use_pallas=False,
     if halo_mesh is not None:
         return _momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd,
                                halo_mesh=halo_mesh)
-    if use_pallas and _pallas_eligible(grid, vx.dtype):
+    if use_pallas and not bcs.periodic_x and _pallas_eligible(grid, vx.dtype):
         from pylamp_tpu.ops.pallas.stokes_kernel import momentum_apply_pallas
 
         return momentum_apply_pallas(vx, vy, eta_s, eta_n, grid, bcs, kbnd,
@@ -178,12 +209,17 @@ def momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd, use_pallas=False,
     return _momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd)
 
 
-def _pressure_gradient(zp, grid, dtype):
+def _pressure_gradient(zp, grid, dtype, bcs: VelocityBCs | None = None):
     """G z_p: the +grad p part of the momentum rows (zero on Dirichlet
-    rows)."""
+    rows; periodic sides: wrapped seam gradient under the half-row
+    convention)."""
     gx_int = (zp[:, 1:] - zp[:, :-1]) / grid.dx
-    zeros_x = jnp.zeros((grid.ny, 1), dtype)
-    gx = jnp.concatenate([zeros_x, gx_int, zeros_x], axis=1)
+    if bcs is not None and bcs.periodic_x:
+        seam = 0.5 * (zp[:, :1] - zp[:, -1:]) / grid.dx
+        gx = jnp.concatenate([seam, gx_int, seam], axis=1)
+    else:
+        zeros_x = jnp.zeros((grid.ny, 1), dtype)
+        gx = jnp.concatenate([zeros_x, gx_int, zeros_x], axis=1)
     gy_int = (zp[1:, :] - zp[:-1, :]) / grid.dy
     zeros_y = jnp.zeros((1, grid.nx), dtype)
     gy = jnp.concatenate([zeros_y, gy_int, zeros_y], axis=0)
@@ -308,7 +344,7 @@ def make_velocity_mg(
     # per-level smoother diagonals; kbnd scales with h^-2 like the stencil
     kbnds = [kbnd * (grids[0].dx / g.dx) ** 2 for g in grids]
     diags = [
-        velocity_diagonals(es, en, g, kb)
+        velocity_diagonals(es, en, g, kb, bcs=bcs)
         for (es, en), g, kb in zip(etas, grids, kbnds)
     ]
 
@@ -321,6 +357,8 @@ def make_velocity_mg(
     # hoist the Pallas kernel's viscosity ghost/pad prep out of the hot
     # applies: computed once per level per solve (prep_eta_pallas)
     preps = [None] * nlev
+    if use_pallas and bcs.periodic_x:
+        use_pallas = False  # the Pallas momentum kernel has no wrap path
     if use_pallas:
         from pylamp_tpu.ops.pallas.stokes_kernel import prep_eta_pallas
 
@@ -371,7 +409,8 @@ def make_velocity_mg(
     # GSPMD rule, so the caller must pass use_pallas_smoother=False for
     # sharded/vmapped solves (make_mg_preconditioner gates on mesh).
     smoother_preps = [None] * nlev
-    if use_pallas_smoother and smoother == "chebyshev" and halo_mesh is None:
+    if (use_pallas_smoother and smoother == "chebyshev" and halo_mesh is None
+            and not bcs.periodic_x):
         from pylamp_tpu.ops.pallas.cheb_kernel import (
             prep_smoother_eta,
             smoother_eligible,
@@ -574,6 +613,11 @@ def make_mg_preconditioner(
     )
     dtype = eta_n.dtype
 
+    if schur == "wbfbt" and bcs.periodic_x:
+        raise ValueError(
+            "schur='wbfbt' has no periodic-wrap pressure-Poisson path yet; "
+            "use schur='mass' with periodic side walls"
+        )
     if schur == "wbfbt":
         from pylamp_tpu.solvers.bfbt import make_bfbt_schur
         from pylamp_tpu.solvers.scaling import characteristic_viscosity
@@ -621,12 +665,18 @@ def make_mg_preconditioner(
                 zy = zy + dy_
             return zx, zy
 
+    from pylamp_tpu.solvers.stokes_solver import project_vx_mean, vx_nullspace
+
+    project = vx_nullspace(bcs)
+
     def M(r):
         rx, ry, rc = r
         zp = S_inv(rc)
         zp = zp - jnp.mean(zp)
-        gx, gy = _pressure_gradient(zp, grid, dtype)
+        gx, gy = _pressure_gradient(zp, grid, dtype, bcs=bcs)
         zx, zy = vel_solve(rx - gx, ry - gy)
+        if project:
+            zx = project_vx_mean(zx)
         return (zx, zy, zp)
 
     return M

@@ -27,6 +27,7 @@ class EnergyOracle:
         self.nx, self.ny = nx, ny
         self.dx, self.dy = lx / nx, ly / ny
         self.bcs = bcs
+        self.periodic = bool(getattr(bcs, "periodic_x", False))
         self.k_avg = k_avg
         self.nyn, self.nxn = ny + 1, nx + 1  # node counts
         self.n = self.nyn * self.nxn
@@ -52,12 +53,14 @@ class EnergyOracle:
         return m, v
 
     def _T_entries(self, j, i):
-        """Ghost substitution (mirror about the wall node's neighbour)."""
+        """Ghost substitution: mirror about the wall node's neighbour, or
+        wrap with period nx on periodic side walls (the node west of col 0
+        is col nx-1; east of col nx is col 1 — col nx duplicates col 0)."""
         jj, ii = j, i
         if ii == -1:
-            ii = 1
+            ii = self.nxn - 2 if self.periodic else 1
         if ii == self.nxn:
-            ii = self.nxn - 2
+            ii = 1 if self.periodic else self.nxn - 2
         if jj == -1:
             jj = 1
         if jj == self.nyn:
@@ -65,8 +68,18 @@ class EnergyOracle:
         return self.idx(jj, ii)
 
     def _k_at(self, k, j, i):
-        jj = min(max(j, 0), self.nyn - 1) if not (j == -1 or j == self.nyn) else (1 if j == -1 else self.nyn - 2)
-        ii = min(max(i, 0), self.nxn - 1) if not (i == -1 or i == self.nxn) else (1 if i == -1 else self.nxn - 2)
+        if j == -1:
+            jj = 1
+        elif j == self.nyn:
+            jj = self.nyn - 2
+        else:
+            jj = min(max(j, 0), self.nyn - 1)
+        if i == -1:
+            ii = self.nxn - 2 if self.periodic else 1
+        elif i == self.nxn:
+            ii = 1 if self.periodic else self.nxn - 2
+        else:
+            ii = min(max(i, 0), self.nxn - 1)
         return k[jj, ii]
 
     def assemble(self, k, rhocp_over_dt, kbnd=1.0):
@@ -81,24 +94,32 @@ class EnergyOracle:
                 if dir_mask[j, i]:
                     A[r, r] = kbnd
                     continue
-                A[r, r] += rc[j, i]
+                # periodic seam columns: each duplicate row carries HALF the
+                # physical equation (ops/energy.py half-row convention); the
+                # diagonal/adjacent-row entries stay on the row's own
+                # duplicate column
+                f = 0.5 if self.periodic and i in (0, self.nxn - 1) else 1.0
+                A[r, r] += f * rc[j, i]
                 # x fluxes: faces (j, i-1/2) and (j, i+1/2)
                 k_r = _face(self._k_at(k, j, i), self._k_at(k, j, i + 1), self.k_avg)
                 k_l = _face(self._k_at(k, j, i - 1), self._k_at(k, j, i), self.k_avg)
-                A[r, self._T_entries(j, i + 1)] += -k_r / dx**2
-                A[r, r] += (k_r + k_l) / dx**2
-                A[r, self._T_entries(j, i - 1)] += -k_l / dx**2
+                A[r, self._T_entries(j, i + 1)] += -f * k_r / dx**2
+                A[r, r] += f * (k_r + k_l) / dx**2
+                A[r, self._T_entries(j, i - 1)] += -f * k_l / dx**2
                 # y fluxes
                 k_d = _face(self._k_at(k, j, i), self._k_at(k, j + 1, i), self.k_avg)
                 k_u = _face(self._k_at(k, j - 1, i), self._k_at(k, j, i), self.k_avg)
-                A[r, self._T_entries(j + 1, i)] += -k_d / dy**2
-                A[r, r] += (k_d + k_u) / dy**2
-                A[r, self._T_entries(j - 1, i)] += -k_u / dy**2
+                A[r, self._T_entries(j + 1, i)] += -f * k_d / dy**2
+                A[r, r] += f * (k_d + k_u) / dy**2
+                A[r, self._T_entries(j - 1, i)] += -f * k_u / dy**2
         return A.tocsr()
 
     def rhs(self, T_old, k, rhocp_over_dt, H, kbnd=1.0):
         dx, dy = self.dx, self.dy
-        b = rhocp_over_dt * T_old + H
+        b = np.asarray(rhocp_over_dt * T_old + H, dtype=float).copy()
+        if self.periodic:
+            b[:, 0] *= 0.5
+            b[:, -1] *= 0.5
         bcs = self.bcs
         if bcs.left.kind == "neumann" and bcs.left.value != 0.0:
             kf = _face(k[:, 0], k[:, 1], self.k_avg)

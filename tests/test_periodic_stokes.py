@@ -165,3 +165,89 @@ def test_periodic_translation_invariance_solve():
     np.testing.assert_allclose(
         p1, np.roll(p0, k, axis=1), atol=1e-8 * np.max(np.abs(p0))
     )
+
+
+# -- multigrid ----------------------------------------------------------------
+
+def _residual_like_vx(rng, shape):
+    """Random vx-lattice residual vector in the half-row seam convention."""
+    f = rng.normal(size=shape)
+    half = 0.5 * f[:, 0]
+    f[:, 0] = half
+    f[:, -1] = half
+    return f
+
+
+def _solution_like_vx(rng, shape):
+    f = rng.normal(size=shape)
+    f[:, -1] = f[:, 0]
+    return f
+
+
+@pytest.mark.parametrize("slip", ["free_slip", "no_slip"])
+def test_periodic_transfer_adjointness(slip):
+    """<P c, f> == 4 <c, R f> in the mixed (solution-like, residual-like)
+    pairing of the seam-duplicated lattices."""
+    from pylamp_tpu.solvers.mg import (
+        prolong_vx, prolong_vy, restrict_vx, restrict_vy,
+    )
+
+    rng = np.random.default_rng(3)
+    bcs = VelocityBCs(top=slip, bottom=slip, left="periodic", right="periodic")
+    # vx lattice: coarse (8, 9) -> fine (16, 17)
+    c = jnp.asarray(_solution_like_vx(rng, (8, 9)))
+    f = jnp.asarray(_residual_like_vx(rng, (16, 17)))
+    lhs = float(jnp.vdot(prolong_vx(c, bcs), f))
+    rhs = 4.0 * float(jnp.vdot(c, restrict_vx(f, bcs)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+    # vy lattice has no duplicated column
+    c2 = jnp.asarray(rng.normal(size=(9, 8)))
+    f2 = jnp.asarray(rng.normal(size=(17, 16)))
+    lhs2 = float(jnp.vdot(prolong_vy(c2, bcs), f2))
+    rhs2 = 4.0 * float(jnp.vdot(c2, restrict_vy(f2, bcs)))
+    np.testing.assert_allclose(lhs2, rhs2, rtol=1e-12)
+
+
+@pytest.mark.parametrize("slip", ["free_slip", "no_slip"])
+def test_periodic_mg_solve_matches_oracle(slip):
+    """MG-preconditioned FGMRES on a periodic variable-viscosity problem:
+    converges fast and matches the oracle direct solve."""
+    from functools import partial
+
+    from pylamp_tpu.solvers.mg import make_mg_preconditioner
+
+    rng = np.random.default_rng(11)
+    grid = StaggeredGrid(nx=32, ny=16, lx=2.0, ly=1.0)
+    bcs = VelocityBCs(top=slip, bottom=slip,
+                      left="periodic", right="periodic")
+    # smooth periodic viscosity field with strong contrast
+    yc, xc = grid.coords("corner")
+    Xc, Yc = np.meshgrid(xc, yc)
+    eta_s = np.exp(3.0 * np.sin(2 * np.pi * Xc / grid.lx) * np.sin(np.pi * Yc))
+    eta_s[:, -1] = eta_s[:, 0]
+    yn, xn = grid.coords("center")
+    Xn, Yn = np.meshgrid(xn, yn)
+    eta_n = np.exp(3.0 * np.sin(2 * np.pi * Xn / grid.lx) * np.sin(np.pi * Yn))
+    rho_vy = _blob_rho(grid, 0.05, 0.5, 0.3, loc="vy")
+    rho_vx = np.zeros(grid.shape_vx)
+
+    oracle = StokesOracle(grid.nx, grid.ny, grid.lx, grid.ly, bcs)
+    vx_o, vy_o, p_o = oracle.solve(eta_s, eta_n, rho_vx, rho_vy, 0.0, 10.0)
+
+    sol = solve_stokes(
+        jnp.asarray(eta_s), jnp.asarray(eta_n),
+        jnp.asarray(rho_vx), jnp.asarray(rho_vy), 0.0, 10.0, grid, bcs,
+        tol=1e-10, restart=40, maxiter=400,
+        make_preconditioner=partial(
+            make_mg_preconditioner, pre_smooth=3, post_smooth=3
+        ),
+    )
+    assert bool(sol.info.converged)
+    assert int(sol.info.iterations) < 120
+    scale = np.max(np.abs(vy_o))
+    np.testing.assert_allclose(np.asarray(sol.vy), vy_o, atol=5e-8 * scale)
+    np.testing.assert_allclose(np.asarray(sol.vx), vx_o, atol=5e-8 * scale)
+    np.testing.assert_allclose(
+        np.asarray(sol.vx)[:, 0], np.asarray(sol.vx)[:, -1],
+        atol=1e-12 * scale,
+    )
