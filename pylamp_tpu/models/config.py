@@ -99,6 +99,12 @@ class SolverConfig:
     # stages in one VMEM residency — measured 5.7x vs the XLA dense-shift
     # RK4 at 1024^2xK18 on v5e.  Same eligibility gating.
     use_pallas_advect: bool = True
+    # Fused full-saddle apply kernel for the FGMRES outer iterations
+    # (ops/pallas/stokes_kernel.saddle_apply_pallas): momentum + pressure
+    # gradient + continuity in one double-buffered VMEM pass — the jnp
+    # stencil lowers to many small kernels (measured 1.45 ms/apply at
+    # 1024^2 on v5e, ~30x the HBM bound).  Same eligibility gating.
+    use_pallas_apply: bool = True
     energy_tol: float = 1e-10
     energy_maxiter: int = 2000
     # "jacobi" is optimal while rho*Cp/dt dominates (transient steps);

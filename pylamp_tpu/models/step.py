@@ -305,6 +305,8 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 x0=(state.vx, state.vy, state.p),
                 make_preconditioner=make_precond,
                 halo_mesh=halo_mesh,
+                use_pallas_apply=(solver.use_pallas_apply and mesh is None
+                                  and not batched),
             )
         else:
             sol = solve_stokes(

@@ -173,6 +173,7 @@ def solve_stokes_mixed(
     x0=None,
     make_preconditioner: Callable | None = None,
     halo_mesh=None,
+    use_pallas_apply: bool = False,
 ) -> StokesSolution:
     """Mixed-precision Stokes solve: f32 FGMRES+MG inner solves inside f64
     iterative refinement (solvers/refine.py) — reaches 1e-8 relative
@@ -204,12 +205,35 @@ def solve_stokes_mixed(
     eta_s32, eta_n32 = eta_s64.astype(f32), eta_n64.astype(f32)
     kcont32, kbnd32 = kcont.astype(f32), kbnd.astype(f32)
 
-    def op32(u):
-        vx, vy, p = u
-        return stokes_operator(
-            vx, vy, p, eta_s32, eta_n32, grid, bcs, kcont=kcont32, kbnd=kbnd32,
-            halo_mesh=halo_mesh,
+    _pallas_op = False
+    if use_pallas_apply and halo_mesh is None:
+        from pylamp_tpu.ops.pallas.stokes_kernel import saddle_apply_eligible
+
+        _pallas_op = saddle_apply_eligible(grid, f32, bcs)
+
+    if _pallas_op:
+        # fused full-saddle Pallas kernel for the FGMRES outer applies: the
+        # jnp stencil lowers to many small kernels (1.45 ms vs the ~0.05 ms
+        # HBM bound at 1024^2 on v5e); viscosity pads are hoisted per solve
+        from pylamp_tpu.ops.pallas.stokes_kernel import (
+            prep_eta_pallas,
+            saddle_apply_pallas,
         )
+
+        _eta_prep = prep_eta_pallas(eta_s32, eta_n32, grid)
+
+        def op32(u):
+            return saddle_apply_pallas(
+                u[0], u[1], u[2], eta_s32, eta_n32, grid, bcs,
+                kcont32, kbnd32, eta_prepped=_eta_prep,
+            )
+    else:
+        def op32(u):
+            vx, vy, p = u
+            return stokes_operator(
+                vx, vy, p, eta_s32, eta_n32, grid, bcs, kcont=kcont32,
+                kbnd=kbnd32, halo_mesh=halo_mesh,
+            )
 
     mk = make_preconditioner or make_block_jacobi_preconditioner
     M32 = mk(eta_s32, eta_n32, grid, kcont32, kbnd32, bcs=bcs)

@@ -34,3 +34,30 @@ def test_momentum_kernel_matches_jnp(slip, nx, ny, br):
                                atol=1e-5 * sx)
     np.testing.assert_allclose(np.asarray(got_ry), np.asarray(want_ry),
                                atol=1e-5 * sy)
+
+
+@pytest.mark.parametrize("slip", ["free_slip", "no_slip"])
+@pytest.mark.parametrize("nx,ny,br", [(16, 16, 8), (24, 32, 16)])
+def test_saddle_kernel_matches_jnp(slip, nx, ny, br):
+    """Fused full-saddle apply (momentum + grad p + continuity) == the jnp
+    stokes_operator (interpret mode; the compiled kernel carries the FGMRES
+    outer applies on TPU)."""
+    from pylamp_tpu.ops.pallas.stokes_kernel import saddle_apply_pallas
+    from pylamp_tpu.ops.stokes import stokes_operator
+
+    grid = StaggeredGrid(nx=nx, ny=ny, lx=1.3, ly=0.9)
+    bcs = VelocityBCs(top=slip, bottom="free_slip", left="no_slip", right=slip)
+    vx = jnp.asarray(RNG.normal(size=grid.shape_vx).astype(np.float32))
+    vy = jnp.asarray(RNG.normal(size=grid.shape_vy).astype(np.float32))
+    p = jnp.asarray(RNG.normal(size=grid.shape_center).astype(np.float32))
+    eta_s = jnp.asarray(np.exp(RNG.normal(size=grid.shape_corner)).astype(np.float32))
+    eta_n = jnp.asarray(np.exp(RNG.normal(size=grid.shape_center)).astype(np.float32))
+    kcont, kbnd = 3.5, 7.5
+
+    want = stokes_operator(vx, vy, p, eta_s, eta_n, grid, bcs,
+                           kcont=kcont, kbnd=kbnd)
+    got = saddle_apply_pallas(vx, vy, p, eta_s, eta_n, grid, bcs,
+                              kcont, kbnd, block_rows=br, interpret=True)
+    for g, w in zip(got, want):
+        s = float(np.abs(np.asarray(w)).max())
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5 * s)
