@@ -46,6 +46,12 @@ def main(argv=None):
     runp.add_argument("--f32", action="store_true",
                       help="f32 state (mixed-precision solves if x64 is on)")
     runp.add_argument("--x64", action="store_true", help="enable float64")
+    runp.add_argument("--stretch-x", type=float, default=0.0, metavar="R",
+                      help="geometric grid stretching in x: last/first cell "
+                           "width ratio R (> 1 refines toward x=0)")
+    runp.add_argument("--stretch-y", type=float, default=0.0, metavar="R",
+                      help="geometric grid stretching in y (> 1 refines "
+                           "toward the top)")
 
     benchp = sub.add_parser("bench", help="run the BASELINE metric harness")
     benchp.add_argument("--nx", type=int, default=1024)
@@ -119,6 +125,15 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, time=dataclasses.replace(cfg.time, max_steps=args.steps)
         )
+    if args.stretch_x or args.stretch_y:
+        from pylamp_tpu.core.grid import geometric_edges
+
+        kw2 = {}
+        if args.stretch_x:
+            kw2["x_edges"] = geometric_edges(cfg.nx, cfg.lx, args.stretch_x)
+        if args.stretch_y:
+            kw2["y_edges"] = geometric_edges(cfg.ny, cfg.ly, args.stretch_y)
+        cfg = dataclasses.replace(cfg, **kw2)
 
     state, diags, grid = run_model(
         cfg,

@@ -47,6 +47,25 @@ def _bilinear(f, fx, fy, nx_n, ny_n):
     )
 
 
+def _bilinear_coords(f, xq, yq, xs, ys):
+    """Bilinear sample of a lattice with explicit (monotone) node
+    coordinate arrays — the stretched-grid path."""
+    nc = xs.shape[0]
+    nr = ys.shape[0]
+    i0 = jnp.clip(jnp.searchsorted(xs, xq, side="right").astype(jnp.int32) - 1,
+                  0, nc - 2)
+    j0 = jnp.clip(jnp.searchsorted(ys, yq, side="right").astype(jnp.int32) - 1,
+                  0, nr - 2)
+    tx = jnp.clip((xq - xs[i0]) / (xs[i0 + 1] - xs[i0]), 0.0, 1.0)
+    ty = jnp.clip((yq - ys[j0]) / (ys[j0 + 1] - ys[j0]), 0.0, 1.0)
+    return (
+        (1 - ty) * (1 - tx) * f[j0, i0]
+        + (1 - ty) * tx * f[j0, i0 + 1]
+        + ty * (1 - tx) * f[j0 + 1, i0]
+        + ty * tx * f[j0 + 1, i0 + 1]
+    )
+
+
 def velocity_at(px, py, vx, vy, grid: StaggeredGrid, bcs: VelocityBCs):
     """Bilinear marker velocity from the ghost-padded staggered grids.
     With periodic sides the positions are wrapped into [0, lx) first (the
@@ -54,6 +73,21 @@ def velocity_at(px, py, vx, vy, grid: StaggeredGrid, bcs: VelocityBCs):
     if bcs.periodic_x:
         px = px - grid.lx * jnp.floor(px / grid.lx)
     vx_p, vy_p = _padded_velocity(vx, vy, bcs)
+    if not grid.uniform:
+        import numpy as np
+
+        # ghost rows/cols mirror at one cell width (uniform convention)
+        yc, xc = grid.y_center, grid.x_center
+        ys_vx = np.concatenate([[yc[0] - grid.dys[0]], yc,
+                                [yc[-1] + grid.dys[-1]]])
+        xs_vy = np.concatenate([[xc[0] - grid.dxs[0]], xc,
+                                [xc[-1] + grid.dxs[-1]]])
+        dt_ = px.dtype
+        ux = _bilinear_coords(vx_p, px, py, jnp.asarray(grid.x_corner, dt_),
+                              jnp.asarray(ys_vx, dt_))
+        uy = _bilinear_coords(vy_p, px, py, jnp.asarray(xs_vy, dt_),
+                              jnp.asarray(grid.y_corner, dt_))
+        return ux, uy
     dx, dy = grid.dx, grid.dy
     # vx lattice: x = i*dx, y = (j-1/2)*dy for padded row j
     ux = _bilinear(vx_p, px / dx, py / dy + 0.5, grid.nx + 1, grid.ny + 2)
@@ -77,8 +111,8 @@ def advect_rk4(px, py, vx, vy, dt, grid: StaggeredGrid, bcs: VelocityBCs):
     nx_new = px + dt / 6.0 * (k1x + 2 * k2x + 2 * k3x + k4x)
     ny_new = py + dt / 6.0 * (k1y + 2 * k2y + 2 * k3y + k4y)
 
-    eps_x = 1e-6 * grid.dx
-    eps_y = 1e-6 * grid.dy
+    eps_x = 1e-6 * grid.dx_min
+    eps_y = 1e-6 * grid.dy_min
     if bcs.periodic_x:
         x_out = nx_new - grid.lx * jnp.floor(nx_new / grid.lx)
     else:

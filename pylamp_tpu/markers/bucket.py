@@ -24,6 +24,14 @@ Key facts the design rests on:
   the single most hostile op on TPU; keep rebucketing gather-free;
 - empty slots are masked by `valid`; per-cell capacity overflow drops the
   latest arrivals deterministically and is reported in diagnostics.
+
+Stretched (non-uniform) grids are supported with the same dense-shift
+structure: the position -> (node interval, local coord) map becomes a
+WINDOWED locate (`_axis_locate`) — the containing interval is within a
+small static offset window of the marker's bucket cell, so it resolves
+with a handful of comparisons/selects against host-shifted per-cell node
+coordinate rows.  Still no gather, no sort.  (The Pallas kernels remain
+uniform-only; stretched runs take these XLA paths.)
 """
 from __future__ import annotations
 
@@ -72,8 +80,20 @@ class BucketedMarkers:
 def bucket_from_flat(x, y, mat, T, grid: StaggeredGrid, capacity: int):
     """One-time setup conversion (uses XLA scatter; not in the hot loop)."""
     ny, nx = grid.ny, grid.nx
-    i = jnp.clip((x / grid.dx).astype(jnp.int32), 0, nx - 1)
-    j = jnp.clip((y / grid.dy).astype(jnp.int32), 0, ny - 1)
+    if grid.uniform:
+        i = jnp.clip((x / grid.dx).astype(jnp.int32), 0, nx - 1)
+        j = jnp.clip((y / grid.dy).astype(jnp.int32), 0, ny - 1)
+    else:
+        xe = jnp.asarray(grid.x_corner, x.dtype)
+        ye = jnp.asarray(grid.y_corner, y.dtype)
+        i = jnp.clip(
+            jnp.searchsorted(xe, x, side="right").astype(jnp.int32) - 1,
+            0, nx - 1,
+        )
+        j = jnp.clip(
+            jnp.searchsorted(ye, y, side="right").astype(jnp.int32) - 1,
+            0, ny - 1,
+        )
     cid = j * nx + i
     order = jnp.argsort(cid)
     cid_s = cid[order]
@@ -110,8 +130,61 @@ def flatten(bm: BucketedMarkers):
 
 # -- local coordinates on a target sub-lattice -----------------------------------
 
+def _node_rows(nodes, ncells: int, rlo: int, rhi: int):
+    """Host-side shifted node-coordinate rows for the windowed locate:
+    ``rows[r][i] = nodes[i + r]`` per cell index i, with -inf below / +inf
+    above the array so out-of-range comparisons resolve the right way."""
+    import numpy as np
+
+    nodes = np.asarray(nodes, np.float64)
+    m = nodes.shape[0]
+    rows = {}
+    for r in range(rlo, rhi + 2):
+        idx = np.arange(ncells) + r
+        rows[r] = np.where(
+            idx < 0,
+            -np.inf,
+            np.where(idx > m - 1, np.inf, nodes[np.clip(idx, 0, m - 1)]),
+        )
+    return rows
+
+
+def _axis_locate(pos, nodes, rlo: int, rhi: int, axis: int):
+    """Windowed gather-free locate on a stretched axis.
+
+    For positions (ny, nx, K) whose containing node interval ``i0``
+    (``nodes[i0] <= pos < nodes[i0+1]``) is known to satisfy
+    ``i0 - cell_idx in [rlo, rhi]`` (``cell_idx`` = the bucket index along
+    ``axis``), return (i0 clipped to [0, len(nodes)-2], local coord t in
+    [0,1]).  Pure comparisons/selects against host-shifted per-cell node
+    rows — no gather, matching the dense-shift engine's constraints."""
+    ncells = pos.shape[axis]
+    m = len(nodes)
+    rows = _node_rows(nodes, ncells, rlo, rhi)
+
+    def bc(v):
+        shp = [1, 1, 1]
+        shp[axis] = ncells
+        return jnp.asarray(v, pos.dtype).reshape(shp)
+
+    base = lax.broadcasted_iota(jnp.int32, pos.shape, axis)
+    i0 = base + rlo
+    for r in range(rlo + 1, rhi + 1):
+        i0 = i0 + (pos >= bc(rows[r])).astype(jnp.int32)
+    i0 = jnp.clip(i0, 0, m - 2)
+    o = i0 - base
+    lo = jnp.zeros(pos.shape, pos.dtype)
+    hi = jnp.zeros(pos.shape, pos.dtype)
+    for r in range(rlo, rhi + 1):
+        sel = o == r
+        lo = jnp.where(sel, bc(rows[r]), lo)
+        hi = jnp.where(sel, bc(rows[r + 1]), hi)
+    t = jnp.clip((pos - lo) / (hi - lo), 0.0, 1.0)
+    return i0, t
+
+
 def _lattice_local(bm_x, bm_y, grid: StaggeredGrid, loc: str,
-                   periodic_x: bool = False):
+                   periodic_x: bool = False, window: int = 1):
     """Per-marker (o_j, o_i, ty, tx) relative to the marker's OWN grid cell:
     the target-lattice cell containing the marker starts at bucket-cell
     offset (o_j, o_i); (ty, tx) in [0,1] are the local coordinates.  Clamped
@@ -119,9 +192,27 @@ def _lattice_local(bm_x, bm_y, grid: StaggeredGrid, loc: str,
 
     ``periodic_x``: no x clamp — markers near the seam keep their natural
     i0 (can be -1 on the half-offset lattices); the wrap happens where the
-    cell sums land on node columns (mod nx)."""
-    oy, ox = grid.origin(loc)
+    cell sums land on node columns (mod nx).
+
+    ``window``: positions may be displaced up to ``window - 1`` cells from
+    their bucket cell (RK4 stage positions); only consulted on stretched
+    grids, where the locate is windowed rather than global."""
+    oy, ox = grid.origin(loc) if grid.uniform else (None, None)
     ny_n, nx_n = grid.shape(loc)
+    if not grid.uniform:
+        if periodic_x:
+            raise ValueError("periodic side walls need a uniform grid")
+        ys, xs = grid.coords(loc)
+        # nodes at cell edges -> an in-cell marker's interval IS its cell;
+        # nodes at centers -> offset -1 or 0. Widen by the displacement.
+        w = window
+        xlo, xhi = (-(w - 1), w - 1) if loc in ("corner", "vx") else (-w, w - 1)
+        ylo, yhi = (-(w - 1), w - 1) if loc in ("corner", "vy") else (-w, w - 1)
+        i0, tx = _axis_locate(bm_x, xs, xlo, xhi, axis=1)
+        j0, ty = _axis_locate(bm_y, ys, ylo, yhi, axis=0)
+        ci = lax.broadcasted_iota(jnp.int32, bm_x.shape, 1)
+        cj = lax.broadcasted_iota(jnp.int32, bm_x.shape, 0)
+        return j0 - cj, i0 - ci, ty, tx
     fx = (bm_x - ox) / grid.dx
     fy = (bm_y - oy) / grid.dy
     if periodic_x:
@@ -272,7 +363,8 @@ def bucket_grid_to_markers(
     """Bilinear gather replaced by masked dense shifts.  ``reach`` bounds
     |o + d|: 1 for in-cell markers, 2 for RK4 stage positions displaced by
     up to one cell.  ``periodic_x``: node columns wrap with period nx."""
-    o_j, o_i, ty, tx = _lattice_local(px, py, grid, loc, periodic_x)
+    o_j, o_i, ty, tx = _lattice_local(px, py, grid, loc, periodic_x,
+                                      window=reach)
     ws = _weights(ty, tx)
     corners = ((0, 0, ws[0]), (0, 1, ws[1]), (1, 0, ws[2]), (1, 1, ws[3]))
 
@@ -309,6 +401,26 @@ def _bucket_velocity_at(px, py, valid, vx_p, vy_p, grid: StaggeredGrid, reach: i
     column offset 1) so UNWRAPPED stage positions just past the seam sample
     the other side — positions themselves must not be wrapped mid-step or
     the dense-shift locality (o relative to the bucket cell) breaks."""
+    if not grid.uniform:
+        import numpy as np
+
+        # Stretched: physical-coordinate windowed locate against the padded
+        # lattices' node coordinates (ghost rows/cols mirror at one cell
+        # width — identical to markers/advect.py velocity_at).
+        yc, xc = grid.y_center, grid.x_center
+        ys_vx = np.concatenate(
+            [[yc[0] - grid.dys[0]], yc, [yc[-1] + grid.dys[-1]]]
+        )
+        xs_vy = np.concatenate(
+            [[xc[0] - grid.dxs[0]], xc, [xc[-1] + grid.dxs[-1]]]
+        )
+        ux = _sample_coords(vx_p, px, py, valid, grid, reach,
+                            ys=ys_vx, xs=grid.x_corner,
+                            y_center_like=True, x_center_like=False)
+        uy = _sample_coords(vy_p, px, py, valid, grid, reach,
+                            ys=grid.y_corner, xs=xs_vy,
+                            y_center_like=False, x_center_like=True)
+        return ux, uy
     dx, dy = grid.dx, grid.dy
 
     # fx, fy below are ARRAY coordinates of the padded lattices: node at
@@ -318,6 +430,40 @@ def _bucket_velocity_at(px, py, valid, vx_p, vy_p, grid: StaggeredGrid, reach: i
     uy = _sample_padded(vy_p, px / dx + 0.5, py / dy, valid, grid, reach,
                         periodic_x=periodic_x, col_offset=1)
     return ux, uy
+
+
+def _sample_coords(f, px, py, valid, grid: StaggeredGrid, reach,
+                   ys, xs, y_center_like: bool, x_center_like: bool):
+    """Stretched-grid twin of _sample_padded: bilinear sample of a lattice
+    given its explicit (monotone, possibly ghost-extended) node coordinate
+    arrays.  Axes whose nodes sit at cell edges have in-cell node-interval
+    offsets {0} (window [-reach, reach] under displacement); center-like
+    axes (nodes at cell centers, incl. one ghost each side) have in-cell
+    offsets {0, 1} (window [-reach, reach+1]) — both exactly the offsets the
+    dense-shift loop enumerates."""
+    ylo, yhi = (-reach, reach + 1) if y_center_like else (-reach, reach)
+    xlo, xhi = (-reach, reach + 1) if x_center_like else (-reach, reach)
+    j0, ty = _axis_locate(py, ys, ylo, yhi, axis=0)
+    i0, tx = _axis_locate(px, xs, xlo, xhi, axis=1)
+    ci = lax.broadcasted_iota(jnp.int32, px.shape, 1)
+    cj = lax.broadcasted_iota(jnp.int32, px.shape, 0)
+    o_j = j0 - cj
+    o_i = i0 - ci
+    ws = _weights(ty, tx)
+    corners = ((0, 0, ws[0]), (0, 1, ws[1]), (1, 0, ws[2]), (1, 1, ws[3]))
+
+    out = jnp.zeros(px.shape, f.dtype)
+    pad = reach + 2
+    fp = jnp.pad(f, pad)
+    for a in range(-reach, reach + 2):
+        for b in range(-reach, reach + 2):
+            fab = fp[pad + a : pad + a + grid.ny, pad + b : pad + b + grid.nx]
+            contrib = jnp.zeros(px.shape, f.dtype)
+            for dj, di, w in corners:
+                sel = (o_j + dj == a) & (o_i + di == b)
+                contrib = contrib + jnp.where(sel & valid, w, 0.0)
+            out = out + contrib * fab[:, :, None]
+    return out
 
 
 def _sample_padded(f, fx, fy, valid, grid: StaggeredGrid, reach,
@@ -407,8 +553,8 @@ def bucket_advect_rk4(
 
     nx_new = x + dt / 6.0 * (k1x + 2 * k2x + 2 * k3x + k4x)
     ny_new = y + dt / 6.0 * (k1y + 2 * k2y + 2 * k3y + k4y)
-    eps_x = 1e-6 * grid.dx
-    eps_y = 1e-6 * grid.dy
+    eps_x = 1e-6 * grid.dx_min
+    eps_y = 1e-6 * grid.dy_min
     if periodic:
         new_x = _wrap_x(nx_new, grid.lx)
     else:
@@ -432,12 +578,18 @@ def rebucket(bm: BucketedMarkers, grid: StaggeredGrid,
 
     Returns (new_bm, dropped): `dropped` counts capacity overflows."""
     ny, nx, K = bm.x.shape
-    dx, dy = grid.dx, grid.dy
 
     ci = lax.broadcasted_iota(jnp.int32, (ny, nx, K), 1)
     cj = lax.broadcasted_iota(jnp.int32, (ny, nx, K), 0)
-    ti = jnp.clip((bm.x / dx).astype(jnp.int32), 0, nx - 1)
-    tj = jnp.clip((bm.y / dy).astype(jnp.int32), 0, ny - 1)
+    if grid.uniform:
+        ti = jnp.clip((bm.x / grid.dx).astype(jnp.int32), 0, nx - 1)
+        tj = jnp.clip((bm.y / grid.dy).astype(jnp.int32), 0, ny - 1)
+    else:
+        if periodic_x:
+            raise ValueError("periodic side walls need a uniform grid")
+        # markers move at most one cell: windowed locate on the cell edges
+        ti, _ = _axis_locate(bm.x, grid.x_corner, -1, 1, axis=1)
+        tj, _ = _axis_locate(bm.y, grid.y_corner, -1, 1, axis=0)
     if periodic_x:
         # wrapped cell offset in {-1, 0, 1} (needs nx >= 3)
         stays_di = (ti - ci + 1) % nx - 1
@@ -555,8 +707,18 @@ def bucket_reseed(
     cj = lax.broadcasted_iota(jnp.int32, (ny, nx, K), 0)
     off_x = ((slot_ids * 0.381966) % 1.0 - 0.5) * 0.5
     off_y = ((slot_ids * 0.618034) % 1.0 - 0.5) * 0.5
-    sx = (ci + 0.5 + off_x) * grid.dx
-    sy = (cj + 0.5 + off_y) * grid.dy
+    if grid.uniform:
+        sx = (ci + 0.5 + off_x) * grid.dx
+        sy = (cj + 0.5 + off_y) * grid.dy
+    else:
+        import numpy as np
+
+        xe0 = jnp.asarray(grid.x_corner[:-1], bm.x.dtype).reshape(1, nx, 1)
+        ye0 = jnp.asarray(grid.y_corner[:-1], bm.y.dtype).reshape(ny, 1, 1)
+        dxc = jnp.asarray(np.asarray(grid.dxs), bm.x.dtype).reshape(1, nx, 1)
+        dyc = jnp.asarray(np.asarray(grid.dys), bm.y.dtype).reshape(ny, 1, 1)
+        sx = xe0 + (0.5 + off_x) * dxc
+        sy = ye0 + (0.5 + off_y) * dyc
 
     new_x = jnp.where(spawn, sx.astype(bm.x.dtype), bm.x)
     new_y = jnp.where(spawn, sy.astype(bm.y.dtype), bm.y)

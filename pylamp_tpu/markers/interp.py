@@ -29,9 +29,29 @@ def _locate(px, py, grid: StaggeredGrid, loc: str, periodic_x: bool = False):
     matches nearest-cell weighting at the walls).
 
     ``periodic_x``: no x clamp; i0 may be -1 on the half-offset lattices and
-    callers wrap node column indices with period nx."""
-    oy, ox = grid.origin(loc)
+    callers wrap node column indices with period nx.
+
+    Stretched grids locate by binary search over the node coordinate
+    arrays (periodic wrap requires a uniform grid)."""
     ny_n, nx_n = grid.shape(loc)
+    if not grid.uniform:
+        if periodic_x:
+            raise ValueError("periodic side walls need a uniform grid")
+        ys, xs = grid.coords(loc)
+        xs = jnp.asarray(xs, px.dtype)
+        ys = jnp.asarray(ys, py.dtype)
+        i0 = jnp.clip(
+            jnp.searchsorted(xs, px, side="right").astype(jnp.int32) - 1,
+            0, nx_n - 2,
+        )
+        j0 = jnp.clip(
+            jnp.searchsorted(ys, py, side="right").astype(jnp.int32) - 1,
+            0, ny_n - 2,
+        )
+        tx = jnp.clip((px - xs[i0]) / (xs[i0 + 1] - xs[i0]), 0.0, 1.0)
+        ty = jnp.clip((py - ys[j0]) / (ys[j0 + 1] - ys[j0]), 0.0, 1.0)
+        return j0, i0, ty, tx
+    oy, ox = grid.origin(loc)
     fx = (px - ox) / grid.dx
     fy = (py - oy) / grid.dy
     if periodic_x:

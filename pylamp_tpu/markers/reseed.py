@@ -26,6 +26,14 @@ from pylamp_tpu.markers.state import MarkerState
 
 
 def _cell_ids(x, y, grid: StaggeredGrid):
+    if not grid.uniform:
+        xe = jnp.asarray(grid.x_corner, x.dtype)
+        ye = jnp.asarray(grid.y_corner, y.dtype)
+        i = jnp.clip(jnp.searchsorted(xe, x, side="right").astype(jnp.int32) - 1,
+                     0, grid.nx - 1)
+        j = jnp.clip(jnp.searchsorted(ye, y, side="right").astype(jnp.int32) - 1,
+                     0, grid.ny - 1)
+        return j * grid.nx + i
     i = jnp.clip((x / grid.dx).astype(jnp.int32), 0, grid.nx - 1)
     j = jnp.clip((y / grid.dy).astype(jnp.int32), 0, grid.ny - 1)
     return j * grid.nx + i
@@ -91,8 +99,16 @@ def reseed_starved(
     k = jnp.arange(max_moves)
     off_x = ((k * 0.381966) % 1.0 - 0.5) * 0.5
     off_y = ((k * 0.618034) % 1.0 - 0.5) * 0.5
-    dst_x = (si + 0.5 + off_x) * grid.dx
-    dst_y = (sj + 0.5 + off_y) * grid.dy
+    if grid.uniform:
+        dst_x = (si + 0.5 + off_x) * grid.dx
+        dst_y = (sj + 0.5 + off_y) * grid.dy
+    else:
+        xe = jnp.asarray(grid.x_corner)
+        ye = jnp.asarray(grid.y_corner)
+        dxs = jnp.asarray(grid.dxs)
+        dys = jnp.asarray(grid.dys)
+        dst_x = xe[si] + (0.5 + off_x) * dxs[si]
+        dst_y = ye[sj] + (0.5 + off_y) * dys[sj]
 
     new_x = markers.x.at[donor_marker].set(
         jnp.where(do_move, dst_x.astype(markers.x.dtype), markers.x[donor_marker])

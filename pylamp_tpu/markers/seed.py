@@ -33,6 +33,6 @@ def seed_markers(
         kx, ky = jax.random.split(key)
         x = x + jax.random.uniform(kx, x.shape, dtype, -0.5, 0.5) * jitter * ddx
         y = y + jax.random.uniform(ky, y.shape, dtype, -0.5, 0.5) * jitter * ddy
-    eps_x = 1e-6 * grid.dx
-    eps_y = 1e-6 * grid.dy
+    eps_x = 1e-6 * grid.dx_min
+    eps_y = 1e-6 * grid.dy_min
     return jnp.clip(x, eps_x, grid.lx - eps_x), jnp.clip(y, eps_y, grid.ly - eps_y)

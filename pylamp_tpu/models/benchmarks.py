@@ -18,26 +18,43 @@ from pylamp_tpu.physics.materials import Material
 
 # -- diagnostics --------------------------------------------------------------
 
+def _wall_gradient_coeffs(h1, h2):
+    """2nd-order one-sided derivative coefficients at the wall node for
+    node gaps h1 (wall->next) and h2 (next->third)."""
+    c0 = -(2.0 * h1 + h2) / (h1 * (h1 + h2))
+    c1 = (h1 + h2) / (h1 * h2)
+    c2 = -h1 / (h2 * (h1 + h2))
+    return c0, c1, c2
+
+
+def _x_average(f, grid):
+    """Trapezoid average of a corner-row quantity over x (stretched-aware)."""
+    import jax.numpy as jnp
+
+    if grid.uniform:
+        w = jnp.ones(grid.nx + 1).at[0].set(0.5).at[-1].set(0.5)
+        return jnp.sum(f * w) / grid.nx
+    dxs = jnp.asarray(grid.dxs, f.dtype)
+    return jnp.sum(0.5 * (f[:-1] + f[1:]) * dxs) / grid.lx
+
+
 def nusselt_top(T, grid):
     """Nu = <dT/dy> at the top wall (y points DOWN, T=0 top / T=1 bottom on
     the unit box, so the conductive profile T=y gives Nu = 1).  One-sided
-    2nd-order difference on corner nodes, trapezoid in x."""
-    import jax.numpy as jnp
-
-    dy = grid.dy
-    dTdy = (-3.0 * T[0, :] + 4.0 * T[1, :] - T[2, :]) / (2.0 * dy)
-    w = jnp.ones(grid.nx + 1).at[0].set(0.5).at[-1].set(0.5)
-    return jnp.sum(dTdy * w) / grid.nx
+    2nd-order difference on corner nodes (nonuniform coefficients on a
+    stretched grid), trapezoid in x."""
+    h1, h2 = float(grid.dys[0]), float(grid.dys[1])
+    c0, c1, c2 = _wall_gradient_coeffs(h1, h2)
+    dTdy = c0 * T[0, :] + c1 * T[1, :] + c2 * T[2, :]
+    return _x_average(dTdy, grid)
 
 
 def nusselt_bottom(T, grid):
     """Nu at the bottom wall (equals nusselt_top in steady state)."""
-    import jax.numpy as jnp
-
-    dy = grid.dy
-    dTdy = (3.0 * T[-1, :] - 4.0 * T[-2, :] + T[-3, :]) / (2.0 * dy)
-    w = jnp.ones(grid.nx + 1).at[0].set(0.5).at[-1].set(0.5)
-    return jnp.sum(dTdy * w) / grid.nx
+    h1, h2 = float(grid.dys[-1]), float(grid.dys[-2])
+    c0, c1, c2 = _wall_gradient_coeffs(h1, h2)
+    dTdy = -(c0 * T[-1, :] + c1 * T[-2, :] + c2 * T[-3, :])
+    return _x_average(dTdy, grid)
 
 
 def vrms_box(vx, vy):

@@ -129,6 +129,11 @@ class ModelConfig:
     ny: int = 64
     lx: float = 1.0
     ly: float = 1.0
+    # Optional stretched-grid edge coordinates (monotone tuples spanning
+    # [0, lx] / [0, ly] with nx+1 / ny+1 entries; see core/grid.py and the
+    # generators geometric_edges / refined_band_edges).  None = uniform.
+    x_edges: tuple | None = None
+    y_edges: tuple | None = None
     markers_per_cell_dim: int = 3
     # "bucket": dense (ny, nx, K) cell-bucketed markers — the TPU hot path
     # (no scatter/gather in the step); "flat": (N,) arrays with XLA

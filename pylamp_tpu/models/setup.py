@@ -20,7 +20,8 @@ def build(cfg: ModelConfig, dtype=jnp.float64):
     The device-side phases (seeding, initial marker->grid interpolation)
     are jitted: eager per-op dispatch on 10M-marker arrays is prohibitively
     slow on TPU."""
-    grid = StaggeredGrid(nx=cfg.nx, ny=cfg.ny, lx=cfg.lx, ly=cfg.ly)
+    grid = StaggeredGrid(nx=cfg.nx, ny=cfg.ny, lx=cfg.lx, ly=cfg.ly,
+                         x_edges=cfg.x_edges, y_edges=cfg.y_edges)
     table = MaterialTable(cfg.physics.materials)
 
     # Host-side seeding mirror (numpy) so material/T geometry predicates run
@@ -28,15 +29,28 @@ def build(cfg: ModelConfig, dtype=jnp.float64):
     # setup every eager op pays a full remote-compile round trip).
     m = cfg.markers_per_cell_dim
     nxm, nym = grid.nx * m, grid.ny * m
-    ddx, ddy = grid.lx / nxm, grid.ly / nym
-    xs = (np.arange(nxm) + 0.5) * ddx
-    ys = (np.arange(nym) + 0.5) * ddy
-    Yh, Xh = np.meshgrid(ys, xs, indexing="ij")
     rng = np.random.default_rng(cfg.seed)
-    xh = Xh.ravel() + rng.uniform(-0.25, 0.25, nxm * nym) * ddx
-    yh = Yh.ravel() + rng.uniform(-0.25, 0.25, nxm * nym) * ddy
-    xh = np.clip(xh, 1e-6 * grid.dx, grid.lx - 1e-6 * grid.dx)
-    yh = np.clip(yh, 1e-6 * grid.dy, grid.ly - 1e-6 * grid.dy)
+    if grid.uniform:
+        ddx, ddy = grid.lx / nxm, grid.ly / nym
+        xs = (np.arange(nxm) + 0.5) * ddx
+        ys = (np.arange(nym) + 0.5) * ddy
+        Yh, Xh = np.meshgrid(ys, xs, indexing="ij")
+        xh = Xh.ravel() + rng.uniform(-0.25, 0.25, nxm * nym) * ddx
+        yh = Yh.ravel() + rng.uniform(-0.25, 0.25, nxm * nym) * ddy
+    else:
+        # stretched: m x m jittered markers PER CELL in the cell's own
+        # coordinates (constant markers-per-cell, not per-area)
+        frac = (np.arange(m) + 0.5) / m
+        jx = rng.uniform(-0.25, 0.25, (grid.ny, grid.nx, m, m)) / m
+        jy = rng.uniform(-0.25, 0.25, (grid.ny, grid.nx, m, m)) / m
+        fx = frac[None, None, None, :] + jx
+        fy = frac[None, None, :, None] + jy
+        xe, ye = grid.x_corner, grid.y_corner
+        dxc, dyc = grid.dxs, grid.dys
+        xh = (xe[:-1][None, :, None, None] + fx * dxc[None, :, None, None]).ravel()
+        yh = (ye[:-1][:, None, None, None] + fy * dyc[:, None, None, None]).ravel()
+    xh = np.clip(xh, 1e-6 * grid.dx_min, grid.lx - 1e-6 * grid.dx_min)
+    yh = np.clip(yh, 1e-6 * grid.dy_min, grid.ly - 1e-6 * grid.dy_min)
 
     mat = (
         np.asarray(cfg.material_of(xh, yh), dtype=np.int32)

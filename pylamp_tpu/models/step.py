@@ -125,6 +125,8 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             "periodic side walls must be set on BOTH the velocity and "
             "thermal BCs (the domain either wraps in x or it doesn't)"
         )
+    if not grid.uniform and periodic:
+        raise ValueError("periodic side walls need a uniform grid")
 
     # explicit shard_map halo exchange for the stencil applies (SURVEY.md
     # §2.3 SP row); only meaningful for domain-decomposed runs
@@ -223,6 +225,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                     and mesh is None
                     and not batched
                     and not periodic  # the fused kernel has no wrap path
+                    and grid.uniform  # kernel index math assumes uniform cells
                     and dtype == jnp.float32
                     and m2g_fused_eligible(_ny, _nx, _K)):
                 return _interp_fused(m, rho_m, k_m, rhocp_m, H_m, state)
@@ -345,14 +348,15 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
         vxmax = jnp.max(jnp.abs(vx))
         vymax = jnp.max(jnp.abs(vy))
         big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+        # stretched grids: the smallest cell bounds the Courant step
         dt_adv = tc.courant * jnp.minimum(
-            jnp.where(vxmax > 0, grid.dx / vxmax, big),
-            jnp.where(vymax > 0, grid.dy / vymax, big),
+            jnp.where(vxmax > 0, grid.dx_min / vxmax, big),
+            jnp.where(vymax > 0, grid.dy_min / vymax, big),
         )
         dt = jnp.minimum(dt_adv, tc.dt_max)
         if tc.dt_diff_factor != float("inf") and phys.solve_energy:
             kappa_max = jnp.max(k_m / rhocp_m)
-            dt_diff = tc.dt_diff_factor * min(grid.dx, grid.dy) ** 2 / kappa_max
+            dt_diff = tc.dt_diff_factor * min(grid.dx_min, grid.dy_min) ** 2 / kappa_max
             dt = jnp.minimum(dt, dt_diff)
         return jnp.maximum(dt, tc.dt_min)
 
@@ -422,7 +426,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             # "subgrid-diffusion correction").
             T_node_at_m = _disp_g2m(m, T_old, "corner")
             t_diff = io.rhocp_m / (
-                io.k_m * (2.0 / grid.dx**2 + 2.0 / grid.dy**2)
+                io.k_m * (2.0 / grid.dx_min**2 + 2.0 / grid.dy_min**2)
             )
             relax = 1.0 - jnp.exp(-phys.subgrid_diffusion_d * dt / t_diff)
             dT_sub_m = (T_node_at_m - m.T) * relax
@@ -475,6 +479,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                     and mesh is None
                     and not batched
                     and not periodic  # no wrap path in the fused kernel
+                    and grid.uniform  # kernel index math assumes uniform cells
                     and markers.x.dtype == jnp.float32
                     and advect_rk4_eligible(_ny, _nx, _K)):
                 # fused VMEM RK4 (5.7x, markers/pallas/advect_kernel.py)
@@ -496,6 +501,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 if (mesh is None
                         and not batched
                         and not periodic  # no wrap path in the kernel
+                        and grid.uniform  # kernel index math assumes uniform cells
                         and markers.x.dtype == jnp.float32
                         and rebucket_eligible(_ny, _nx, _K)):
                     markers, dropped = rebucket_pallas(markers, grid)

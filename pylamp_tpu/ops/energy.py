@@ -102,6 +102,12 @@ def energy_operator(
 
     ``halo_mesh``: route through the explicit shard_map + ppermute halo
     path (parallel/halo_ops.py) instead of GSPMD partitioning."""
+    if not grid.uniform:
+        from pylamp_tpu.ops.stretched import energy_operator_stretched
+
+        return energy_operator_stretched(
+            T, k, rhocp_over_dt, grid, bcs, kbnd=kbnd, k_avg=k_avg
+        )
     if halo_mesh is not None and not bcs.periodic_x:
         from pylamp_tpu.parallel.halo_ops import energy_operator_halo, halo_eligible
 
@@ -150,6 +156,12 @@ def energy_rhs(
     the boundary row yields a uniform +2*k_face*g/h RHS contribution on
     every wall (derived independently in tests/oracle/energy_oracle.py).
     """
+    if not grid.uniform:
+        from pylamp_tpu.ops.stretched import energy_rhs_stretched
+
+        return energy_rhs_stretched(
+            T_old, k, rhocp_over_dt, H, grid, bcs, kbnd=kbnd, k_avg=k_avg
+        )
     dx, dy = grid.dx, grid.dy
     b = rhocp_over_dt * T_old + H
     if bcs.periodic_x:

@@ -375,6 +375,8 @@ def smoother_eligible(grid: StaggeredGrid, dtype, iters: int,
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
         return False
+    if not grid.uniform:
+        return False
     ny, nx = grid.ny, grid.nx
     h = _pick_h(iters)
     if h is None or iters < 1:

@@ -363,6 +363,7 @@ def saddle_apply_eligible(grid: StaggeredGrid, dtype, bcs: VelocityBCs) -> bool:
     return (
         dtype == jnp.float32
         and not bcs.periodic_x
+        and grid.uniform
         and grid.ny % 128 == 0
         and grid.nx >= 256
         and platform not in ("cpu", "gpu")

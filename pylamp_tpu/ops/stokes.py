@@ -87,6 +87,12 @@ def stokes_operator(
     explicit shard_map + ppermute halo-exchange path (parallel/halo_ops.py)
     instead of letting GSPMD partition this stencil.  Falls back to the
     GSPMD path on grids that don't decompose evenly over the mesh."""
+    if not grid.uniform:
+        from pylamp_tpu.ops.stretched import stokes_operator_stretched
+
+        return stokes_operator_stretched(
+            vx, vy, p, eta_s, eta_n, grid, bcs, kcont=kcont, kbnd=kbnd
+        )
     if halo_mesh is not None and not bcs.periodic_x:
         from pylamp_tpu.parallel.halo_ops import halo_eligible, stokes_operator_halo
 
@@ -170,17 +176,20 @@ def stokes_rhs(
     # Moving no-slip walls: the ghost is s*v + (1-s)*vt; the operator keeps
     # the homogeneous part (s*v), the affine part 2*vt (no slip: s = -1)
     # folds into the boundary-adjacent momentum rows as
-    # +2*eta_s*vt/h^2 on the RHS (same elimination as the oracle's).
-    dy2 = grid.dy**2
-    dx2 = grid.dx**2
+    # +2*eta_s*vt/h^2 on the RHS (same elimination as the oracle's;
+    # stretched grids: h is the wall cell's width/height).
+    dy2_top = grid.dys[0] ** 2
+    dy2_bot = grid.dys[-1] ** 2
+    dx2_left = grid.dxs[0] ** 2
+    dx2_right = grid.dxs[-1] ** 2
     if bcs.top == "no_slip" and bcs.vt_top != 0.0:
-        bx = bx.at[0, 1:-1].add(2.0 * eta_s[0, 1:-1] * bcs.vt_top / dy2)
+        bx = bx.at[0, 1:-1].add(2.0 * eta_s[0, 1:-1] * bcs.vt_top / dy2_top)
     if bcs.bottom == "no_slip" and bcs.vt_bottom != 0.0:
-        bx = bx.at[-1, 1:-1].add(2.0 * eta_s[-1, 1:-1] * bcs.vt_bottom / dy2)
+        bx = bx.at[-1, 1:-1].add(2.0 * eta_s[-1, 1:-1] * bcs.vt_bottom / dy2_bot)
     if bcs.left == "no_slip" and bcs.vt_left != 0.0:
-        by = by.at[1:-1, 0].add(2.0 * eta_s[1:-1, 0] * bcs.vt_left / dx2)
+        by = by.at[1:-1, 0].add(2.0 * eta_s[1:-1, 0] * bcs.vt_left / dx2_left)
     if bcs.right == "no_slip" and bcs.vt_right != 0.0:
-        by = by.at[1:-1, -1].add(2.0 * eta_s[1:-1, -1] * bcs.vt_right / dx2)
+        by = by.at[1:-1, -1].add(2.0 * eta_s[1:-1, -1] * bcs.vt_right / dx2_right)
 
     # Dirichlet rows: prescribed normal velocities.  Periodic sides: the
     # seam buoyancy row follows the half-row convention (rho_vx must be
@@ -200,10 +209,21 @@ def stokes_rhs(
 def strain_rate_ii(vx, vy, grid: StaggeredGrid, bcs: VelocityBCs):
     """Second invariant of the strain rate at cell centers (for rheology,
     shear heating, and diagnostics)."""
-    dvxdx = (vx[:, 1:] - vx[:, :-1]) / grid.dx
-    dvydy = (vy[1:, :] - vy[:-1, :]) / grid.dy
+    if grid.uniform:
+        dvxdx = (vx[:, 1:] - vx[:, :-1]) / grid.dx
+        dvydy = (vy[1:, :] - vy[:-1, :]) / grid.dy
+        sxy = shear_stress_xy(
+            vx, vy, jnp.ones(grid.shape_corner, vx.dtype), grid, bcs
+        )
+    else:
+        from pylamp_tpu.ops.stretched import shear_stress_xy_stretched
+
+        dvxdx = (vx[:, 1:] - vx[:, :-1]) / grid.dxs[None, :]
+        dvydy = (vy[1:, :] - vy[:-1, :]) / grid.dys[:, None]
+        sxy = shear_stress_xy_stretched(
+            vx, vy, jnp.ones(grid.shape_corner, vx.dtype), grid, bcs
+        )
     exx = 0.5 * (dvxdx - dvydy)  # deviatoric (incompressible: exx = -eyy)
-    sxy = shear_stress_xy(vx, vy, jnp.ones(grid.shape_corner, vx.dtype), grid, bcs)
     exy_corner = 0.5 * sxy
     exy = 0.25 * (
         exy_corner[:-1, :-1] + exy_corner[:-1, 1:] + exy_corner[1:, :-1] + exy_corner[1:, 1:]

@@ -54,7 +54,10 @@ from pylamp_tpu.markers.bucket import (
 
 def halo_markers_eligible(grid: StaggeredGrid, mesh: Mesh) -> bool:
     """Blocks must divide evenly and hold the deepest halo the engine
-    exchanges (reach-2 RK4 stage sampling needs 3 rows/cols)."""
+    exchanges (reach-2 RK4 stage sampling needs 3 rows/cols).  Stretched
+    grids stay on GSPMD."""
+    if not grid.uniform:
+        return False
     my, mx = mesh.shape["y"], mesh.shape["x"]
     return (
         grid.ny % my == 0

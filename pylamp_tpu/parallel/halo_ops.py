@@ -51,7 +51,9 @@ from pylamp_tpu.core.grid import StaggeredGrid
 def halo_eligible(grid: StaggeredGrid, mesh: Mesh) -> bool:
     """The explicit-halo operators need evenly divisible blocks of at least
     2x2 cells (one-deep halos; smaller levels are latency-bound anyway and
-    stay on the GSPMD / replicated path)."""
+    stay on the GSPMD / replicated path).  Stretched grids stay on GSPMD."""
+    if not grid.uniform:
+        return False
     my, mx = mesh.shape["y"], mesh.shape["x"]
     return (
         grid.ny % my == 0

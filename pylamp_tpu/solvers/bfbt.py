@@ -262,6 +262,11 @@ def make_bfbt_schur(
     ``poisson_iters``: flexible-CG iterations per Khat solve (each
     preconditioned by one V-cycle); 0 = a single V-cycle, no Krylov wrap.
     """
+    if not grid.uniform:
+        raise ValueError(
+            "the w-BFBT Schur surrogate has no stretched-grid path yet; use "
+            "schur='mass' on stretched grids"
+        )
     from pylamp_tpu.solvers.krylov import fcg
     from pylamp_tpu.solvers.mg import _pressure_gradient, momentum_apply
 

@@ -116,12 +116,11 @@ def make_energy_mg_preconditioner(
     grids = [grid]
     coeffs = [(k, rhocp_over_dt)]
     for _ in range(nlev - 1):
-        g = grids[-1]
-        grids.append(StaggeredGrid(nx=g.nx // 2, ny=g.ny // 2, lx=g.lx, ly=g.ly))
+        grids.append(grids[-1].coarsen())
         kl, rl = coeffs[-1]
         # corner nodes coincide: sample coefficients at the surviving nodes
         coeffs.append((kl[::2, ::2], rl[::2, ::2]))
-    kbnds = [kbnd * (grids[0].dx / g.dx) ** 2 for g in grids]
+    kbnds = [kbnd * (grids[0].dx_min / g.dx_min) ** 2 for g in grids]
     diags = [
         energy_diagonal(kl, rl, g, bcs, kb, k_avg)
         for (kl, rl), g, kb in zip(coeffs, grids, kbnds)

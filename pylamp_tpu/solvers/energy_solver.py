@@ -28,6 +28,10 @@ class EnergySolution(NamedTuple):
 
 
 def energy_diagonal(k, rhocp_over_dt, grid: StaggeredGrid, bcs: ThermalBCs, kbnd, k_avg):
+    if not grid.uniform:
+        from pylamp_tpu.ops.stretched import energy_diagonal_stretched
+
+        return energy_diagonal_stretched(k, rhocp_over_dt, grid, bcs, kbnd, k_avg)
     dx, dy = grid.dx, grid.dy
     _, kp = _pad_ghost(k, k, bcs.periodic_x)
     kx = _face_k(kp, 1, k_avg)  # (ny+3, nx+2)
@@ -56,7 +60,7 @@ def solve_energy(
     preconditioner: str = "jacobi",
     halo_mesh=None,
 ) -> EnergySolution:
-    kbnd = jnp.mean(rhocp_over_dt) + 4.0 * jnp.mean(k) / min(grid.dx, grid.dy) ** 2
+    kbnd = jnp.mean(rhocp_over_dt) + 4.0 * jnp.mean(k) / min(grid.dx_min, grid.dy_min) ** 2
 
     def op(T):
         return energy_operator(T, k, rhocp_over_dt, grid, bcs, kbnd=kbnd,
@@ -110,7 +114,7 @@ def solve_energy_mixed(
     f64, f32 = jnp.float64, jnp.float32
     k64 = k.astype(f64)
     rc64 = rhocp_over_dt.astype(f64)
-    kbnd = jnp.mean(rc64) + 4.0 * jnp.mean(k64) / min(grid.dx, grid.dy) ** 2
+    kbnd = jnp.mean(rc64) + 4.0 * jnp.mean(k64) / min(grid.dx_min, grid.dy_min) ** 2
 
     def op64(T):
         return energy_operator(T, k64, rc64, grid, bcs, kbnd=kbnd, k_avg=k_avg,

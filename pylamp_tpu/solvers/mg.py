@@ -184,6 +184,7 @@ def _pallas_eligible(grid: StaggeredGrid, dtype) -> bool:
         return False
     return (
         dtype == jnp.float32
+        and grid.uniform
         and grid.ny % 128 == 0
         and grid.nx >= 256
         and platform not in ("cpu", "gpu")
@@ -213,6 +214,10 @@ def _pressure_gradient(zp, grid, dtype, bcs: VelocityBCs | None = None):
     """G z_p: the +grad p part of the momentum rows (zero on Dirichlet
     rows; periodic sides: wrapped seam gradient under the half-row
     convention)."""
+    if not grid.uniform:
+        from pylamp_tpu.ops.stretched import pressure_gradient_stretched
+
+        return pressure_gradient_stretched(zp, grid, dtype)
     gx_int = (zp[:, 1:] - zp[:, :-1]) / grid.dx
     if bcs is not None and bcs.periodic_x:
         seam = 0.5 * (zp[:, :1] - zp[:, -1:]) / grid.dx
@@ -323,8 +328,8 @@ def make_velocity_mg(
     grids = [grid]
     etas = [(eta_s, eta_n)]
     for _ in range(nlev - 1):
-        g = grids[-1]
-        grids.append(StaggeredGrid(nx=g.nx // 2, ny=g.ny // 2, lx=g.lx, ly=g.ly))
+        # stretched grids coarsen by dropping every other edge
+        grids.append(grids[-1].coarsen())
         etas.append(coarsen_eta(*etas[-1]))
 
     # explicit-halo applies per level: skip levels that are replicated
@@ -342,7 +347,7 @@ def make_velocity_mg(
         hmesh = [None] * nlev
 
     # per-level smoother diagonals; kbnd scales with h^-2 like the stencil
-    kbnds = [kbnd * (grids[0].dx / g.dx) ** 2 for g in grids]
+    kbnds = [kbnd * (grids[0].dx_min / g.dx_min) ** 2 for g in grids]
     diags = [
         velocity_diagonals(es, en, g, kb, bcs=bcs)
         for (es, en), g, kb in zip(etas, grids, kbnds)

@@ -19,7 +19,9 @@ def characteristic_viscosity(eta_n):
 
 
 def stokes_scales(eta_char, grid: StaggeredGrid):
-    """(kcont, kbnd): continuity-row and Dirichlet-row scale factors."""
-    kcont = 2.0 * eta_char / (grid.dx + grid.dy)
-    kbnd = 4.0 * eta_char / min(grid.dx, grid.dy) ** 2
+    """(kcont, kbnd): continuity-row and Dirichlet-row scale factors
+    (stretched grids use the smallest cell — the stiffest rows)."""
+    dx, dy = grid.dx_min, grid.dy_min
+    kcont = 2.0 * eta_char / (dx + dy)
+    kbnd = 4.0 * eta_char / min(dx, dy) ** 2
     return kcont, kbnd

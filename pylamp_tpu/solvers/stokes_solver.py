@@ -34,6 +34,10 @@ def velocity_diagonals(eta_s, eta_n, grid: StaggeredGrid, kbnd,
     preconditioning/smoothing).  With periodic side walls the vx seam
     columns carry the wrapped stencil diagonal under the half-row
     convention (ops/stokes.py)."""
+    if not grid.uniform:
+        from pylamp_tpu.ops.stretched import velocity_diagonals_stretched
+
+        return velocity_diagonals_stretched(eta_s, eta_n, grid, kbnd)
     dx, dy = grid.dx, grid.dy
     dvx_int = (
         2.0 * (eta_n[:, 1:] + eta_n[:, :-1]) / dx**2

@@ -291,6 +291,11 @@ def make_vanka_mg_preconditioner(
     """FGMRES preconditioner: equilibrated coupled-MG V-cycle(s) on the full
     residual; pressure returned in the mean-zero gauge (the constant-
     pressure nullspace is projected once per application)."""
+    if not grid.uniform:
+        raise ValueError(
+            "the Vanka preconditioner has no stretched-grid path yet; use "
+            "preconditioner='mg' on stretched grids"
+        )
     if bcs is None:
         bcs = VelocityBCs()
     mg = make_coupled_vanka_mg(

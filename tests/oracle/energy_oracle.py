@@ -23,14 +23,29 @@ def _face(a, b, mode):
 
 
 class EnergyOracle:
-    def __init__(self, nx, ny, lx, ly, bcs, k_avg="arithmetic"):
+    def __init__(self, nx, ny, lx, ly, bcs, k_avg="arithmetic",
+                 x_edges=None, y_edges=None):
         self.nx, self.ny = nx, ny
         self.dx, self.dy = lx / nx, ly / ny
         self.bcs = bcs
         self.periodic = bool(getattr(bcs, "periodic_x", False))
+        if self.periodic and (x_edges is not None or y_edges is not None):
+            raise ValueError("periodic oracle assumes a uniform grid")
         self.k_avg = k_avg
         self.nyn, self.nxn = ny + 1, nx + 1  # node counts
         self.n = self.nyn * self.nxn
+        # variable spacing (Gerya-style): hx[i] = gap east of node i (ghost
+        # mirrors at one cell width); wx[i] = node control width
+        dxc = (np.diff(np.asarray(x_edges, float))
+               if x_edges is not None else np.full(nx, lx / nx))
+        dyc = (np.diff(np.asarray(y_edges, float))
+               if y_edges is not None else np.full(ny, ly / ny))
+        self.hx = np.concatenate([dxc, [dxc[-1]]])  # east gap of node i
+        self.hy = np.concatenate([dyc, [dyc[-1]]])
+        self.gwx = np.concatenate([[dxc[0]], dxc])  # west gap of node i
+        self.gwy = np.concatenate([[dyc[0]], dyc])
+        self.wx = np.concatenate([[dxc[0]], 0.5 * (dxc[:-1] + dxc[1:]), [dxc[-1]]])
+        self.wy = np.concatenate([[dyc[0]], 0.5 * (dyc[:-1] + dyc[1:]), [dyc[-1]]])
 
     def idx(self, j, i):
         return j * self.nxn + i
@@ -100,18 +115,21 @@ class EnergyOracle:
                 # duplicate column
                 f = 0.5 if self.periodic and i in (0, self.nxn - 1) else 1.0
                 A[r, r] += f * rc[j, i]
-                # x fluxes: faces (j, i-1/2) and (j, i+1/2)
+                # x fluxes: faces east (gap hx[i]) and west (gap gwx[i]),
+                # divergence over the node control width wx[i]
                 k_r = _face(self._k_at(k, j, i), self._k_at(k, j, i + 1), self.k_avg)
                 k_l = _face(self._k_at(k, j, i - 1), self._k_at(k, j, i), self.k_avg)
-                A[r, self._T_entries(j, i + 1)] += -f * k_r / dx**2
-                A[r, r] += f * (k_r + k_l) / dx**2
-                A[r, self._T_entries(j, i - 1)] += -f * k_l / dx**2
+                he, hw, w = self.hx[i], self.gwx[i], self.wx[i]
+                A[r, self._T_entries(j, i + 1)] += -f * k_r / (he * w)
+                A[r, r] += f * (k_r / he + k_l / hw) / w
+                A[r, self._T_entries(j, i - 1)] += -f * k_l / (hw * w)
                 # y fluxes
                 k_d = _face(self._k_at(k, j, i), self._k_at(k, j + 1, i), self.k_avg)
                 k_u = _face(self._k_at(k, j - 1, i), self._k_at(k, j, i), self.k_avg)
-                A[r, self._T_entries(j + 1, i)] += -f * k_d / dy**2
-                A[r, r] += f * (k_d + k_u) / dy**2
-                A[r, self._T_entries(j - 1, i)] += -f * k_u / dy**2
+                he, hw, w = self.hy[j], self.gwy[j], self.wy[j]
+                A[r, self._T_entries(j + 1, i)] += -f * k_d / (he * w)
+                A[r, r] += f * (k_d / he + k_u / hw) / w
+                A[r, self._T_entries(j - 1, i)] += -f * k_u / (hw * w)
         return A.tocsr()
 
     def rhs(self, T_old, k, rhocp_over_dt, H, kbnd=1.0):
@@ -123,16 +141,16 @@ class EnergyOracle:
         bcs = self.bcs
         if bcs.left.kind == "neumann" and bcs.left.value != 0.0:
             kf = _face(k[:, 0], k[:, 1], self.k_avg)
-            b[:, 0] += 2.0 * kf * bcs.left.value / dx
+            b[:, 0] += 2.0 * kf * bcs.left.value / self.wx[0]
         if bcs.right.kind == "neumann" and bcs.right.value != 0.0:
             kf = _face(k[:, -2], k[:, -1], self.k_avg)
-            b[:, -1] += 2.0 * kf * bcs.right.value / dx
+            b[:, -1] += 2.0 * kf * bcs.right.value / self.wx[-1]
         if bcs.top.kind == "neumann" and bcs.top.value != 0.0:
             kf = _face(k[0, :], k[1, :], self.k_avg)
-            b[0, :] += 2.0 * kf * bcs.top.value / dy
+            b[0, :] += 2.0 * kf * bcs.top.value / self.wy[0]
         if bcs.bottom.kind == "neumann" and bcs.bottom.value != 0.0:
             kf = _face(k[-2, :], k[-1, :], self.k_avg)
-            b[-1, :] += 2.0 * kf * bcs.bottom.value / dy
+            b[-1, :] += 2.0 * kf * bcs.bottom.value / self.wy[-1]
         mask, vals = self._dirichlet_mask()
         b = np.where(mask, kbnd * vals, b)
         return b.ravel()

@@ -19,11 +19,26 @@ import scipy.sparse.linalg as spla
 
 
 class StokesOracle:
-    def __init__(self, nx, ny, lx, ly, bcs):
+    def __init__(self, nx, ny, lx, ly, bcs, x_edges=None, y_edges=None):
         self.nx, self.ny, self.lx, self.ly = nx, ny, lx, ly
         self.dx, self.dy = lx / nx, ly / ny
         self.bcs = bcs
         self.periodic = bool(getattr(bcs, "periodic_x", False))
+        if self.periodic and (x_edges is not None or y_edges is not None):
+            raise ValueError("periodic oracle assumes a uniform grid")
+        # per-cell spacings (uniform when no edges given) — the assembly
+        # below is written entirely in terms of these, so the stretched
+        # (Gerya variable-grid) discretization is the general case and the
+        # uniform one its special case
+        self.dxc = (np.diff(np.asarray(x_edges, float))
+                    if x_edges is not None else np.full(nx, lx / nx))
+        self.dyc = (np.diff(np.asarray(y_edges, float))
+                    if y_edges is not None else np.full(ny, ly / ny))
+        self.dxv = 0.5 * (self.dxc[:-1] + self.dxc[1:])  # center gaps
+        self.dyv = 0.5 * (self.dyc[:-1] + self.dyc[1:])
+        # corner-lattice gaps (wall entries: mirror ghost at one cell)
+        self.dxn = np.concatenate([[self.dxc[0]], self.dxv, [self.dxc[-1]]])
+        self.dyn = np.concatenate([[self.dyc[0]], self.dyv, [self.dyc[-1]]])
         self.nvx = ny * (nx + 1)
         self.nvy = (ny + 1) * nx
         self.np_ = ny * nx
@@ -94,6 +109,10 @@ class StokesOracle:
             A[r, self.ip(j, 0)] += f / dx
             A[r, self.ip(j, nx - 1)] += -f / dx
 
+        dxc, dyc = self.dxc, self.dyc
+        dxv, dyv = self.dxv, self.dyv
+        dxn, dyn = self.dxn, self.dyn
+
         # x-momentum rows
         for j in range(ny):
             for i in range(nx + 1):
@@ -105,22 +124,25 @@ class StokesOracle:
                     else:
                         A[r, r] = kbnd
                     continue
-                # -(sxx[j,i]-sxx[j,i-1])/dx
-                add_vx(r, j, i + 1, -2.0 * eta_n[j, i] / dx**2)
-                add_vx(r, j, i, 2.0 * (eta_n[j, i] + eta_n[j, i - 1]) / dx**2)
-                add_vx(r, j, i - 1, -2.0 * eta_n[j, i - 1] / dx**2)
-                # -(sxy[j+1,i]-sxy[j,i])/dy
+                # -(sxx[j,i]-sxx[j,i-1])/dxv_i ; sxx[j,c] = 2 en (dvx/dxc_c)
+                dv = dxv[i - 1]
+                add_vx(r, j, i + 1, -2.0 * eta_n[j, i] / (dxc[i] * dv))
+                add_vx(r, j, i,
+                       2.0 * (eta_n[j, i] / dxc[i] + eta_n[j, i - 1] / dxc[i - 1]) / dv)
+                add_vx(r, j, i - 1, -2.0 * eta_n[j, i - 1] / (dxc[i - 1] * dv))
+                # -(sxy[j+1,i]-sxy[j,i])/dyc_j ; sxy[J,i] has dvx/dyn_J and
+                # dvy/dxn_i
                 eu, ed = eta_s[j, i], eta_s[j + 1, i]
-                add_vx(r, j + 1, i, -ed / dy**2)
-                add_vx(r, j, i, (ed + eu) / dy**2)
-                add_vx(r, j - 1, i, -eu / dy**2)
-                add_vy(r, j + 1, i, -ed / (dx * dy))
-                add_vy(r, j + 1, i - 1, ed / (dx * dy))
-                add_vy(r, j, i, eu / (dx * dy))
-                add_vy(r, j, i - 1, -eu / (dx * dy))
-                # +(p[j,i]-p[j,i-1])/dx
-                A[r, self.ip(j, i)] += 1.0 / dx
-                A[r, self.ip(j, i - 1)] += -1.0 / dx
+                add_vx(r, j + 1, i, -ed / (dyn[j + 1] * dyc[j]))
+                add_vx(r, j, i, (ed / dyn[j + 1] + eu / dyn[j]) / dyc[j])
+                add_vx(r, j - 1, i, -eu / (dyn[j] * dyc[j]))
+                add_vy(r, j + 1, i, -ed / (dxn[i] * dyc[j]))
+                add_vy(r, j + 1, i - 1, ed / (dxn[i] * dyc[j]))
+                add_vy(r, j, i, eu / (dxn[i] * dyc[j]))
+                add_vy(r, j, i - 1, -eu / (dxn[i] * dyc[j]))
+                # +(p[j,i]-p[j,i-1])/dxv_i
+                A[r, self.ip(j, i)] += 1.0 / dv
+                A[r, self.ip(j, i - 1)] += -1.0 / dv
 
         # y-momentum rows
         for j in range(ny + 1):
@@ -129,31 +151,33 @@ class StokesOracle:
                 if j == 0 or j == ny:
                     A[r, r] = kbnd
                     continue
-                # -(syy[j,i]-syy[j-1,i])/dy
-                add_vy(r, j + 1, i, -2.0 * eta_n[j, i] / dy**2)
-                add_vy(r, j, i, 2.0 * (eta_n[j, i] + eta_n[j - 1, i]) / dy**2)
-                add_vy(r, j - 1, i, -2.0 * eta_n[j - 1, i] / dy**2)
-                # -(sxy[j,i+1]-sxy[j,i])/dx
+                # -(syy[j,i]-syy[j-1,i])/dyv_j
+                dv = dyv[j - 1]
+                add_vy(r, j + 1, i, -2.0 * eta_n[j, i] / (dyc[j] * dv))
+                add_vy(r, j, i,
+                       2.0 * (eta_n[j, i] / dyc[j] + eta_n[j - 1, i] / dyc[j - 1]) / dv)
+                add_vy(r, j - 1, i, -2.0 * eta_n[j - 1, i] / (dyc[j - 1] * dv))
+                # -(sxy[j,i+1]-sxy[j,i])/dxc_i
                 el, er = eta_s[j, i], eta_s[j, i + 1]
-                add_vy(r, j, i + 1, -er / dx**2)
-                add_vy(r, j, i, (er + el) / dx**2)
-                add_vy(r, j, i - 1, -el / dx**2)
-                add_vx(r, j, i + 1, -er / (dx * dy))
-                add_vx(r, j - 1, i + 1, er / (dx * dy))
-                add_vx(r, j, i, el / (dx * dy))
-                add_vx(r, j - 1, i, -el / (dx * dy))
-                # +(p[j,i]-p[j-1,i])/dy
-                A[r, self.ip(j, i)] += 1.0 / dy
-                A[r, self.ip(j - 1, i)] += -1.0 / dy
+                add_vy(r, j, i + 1, -er / (dxn[i + 1] * dxc[i]))
+                add_vy(r, j, i, (er / dxn[i + 1] + el / dxn[i]) / dxc[i])
+                add_vy(r, j, i - 1, -el / (dxn[i] * dxc[i]))
+                add_vx(r, j, i + 1, -er / (dyn[j] * dxc[i]))
+                add_vx(r, j - 1, i + 1, er / (dyn[j] * dxc[i]))
+                add_vx(r, j, i, el / (dyn[j] * dxc[i]))
+                add_vx(r, j - 1, i, -el / (dyn[j] * dxc[i]))
+                # +(p[j,i]-p[j-1,i])/dyv_j
+                A[r, self.ip(j, i)] += 1.0 / dv
+                A[r, self.ip(j - 1, i)] += -1.0 / dv
 
         # continuity rows
         for j in range(ny):
             for i in range(nx):
                 r = self.ip(j, i)
-                add_vx(r, j, i + 1, kcont / dx)
-                add_vx(r, j, i, -kcont / dx)
-                add_vy(r, j + 1, i, kcont / dy)
-                add_vy(r, j, i, -kcont / dy)
+                add_vx(r, j, i + 1, kcont / dxc[i])
+                add_vx(r, j, i, -kcont / dxc[i])
+                add_vy(r, j + 1, i, kcont / dyc[j])
+                add_vy(r, j, i, -kcont / dyc[j])
 
         return A.tocsr()
 
@@ -189,10 +213,11 @@ class StokesOracle:
         style: fix one pressure DOF; SURVEY.md §3.2), then shift p so that
         mean(p) = 0."""
         eta_char = float(np.exp(np.mean(np.log(eta_n))))
+        dxm, dym = float(self.dxc.min()), float(self.dyc.min())
         if kcont is None:
-            kcont = 2.0 * eta_char / (self.dx + self.dy)
+            kcont = 2.0 * eta_char / (dxm + dym)
         if kbnd is None:
-            kbnd = 4.0 * eta_char / min(self.dx, self.dy) ** 2
+            kbnd = 4.0 * eta_char / min(dxm, dym) ** 2
         A = self.assemble(eta_s, eta_n, kcont=kcont, kbnd=kbnd).tolil()
         b = self.rhs(rho_vx, rho_vy, gx, gy, kbnd=kbnd)
         if self.periodic:
