@@ -52,6 +52,11 @@ def main(argv=None):
     runp.add_argument("--stretch-y", type=float, default=0.0, metavar="R",
                       help="geometric grid stretching in y (> 1 refines "
                            "toward the top)")
+    runp.add_argument("--mg-smoother", default=None,
+                      choices=["chebyshev", "jacobi", "line", "line_y",
+                               "line_x"],
+                      help="multigrid V-cycle smoother (line relaxation "
+                           "for anisotropic stretched grids)")
 
     benchp = sub.add_parser("bench", help="run the BASELINE metric harness")
     benchp.add_argument("--nx", type=int, default=1024)
@@ -134,6 +139,13 @@ def main(argv=None):
         if args.stretch_y:
             kw2["y_edges"] = geometric_edges(cfg.ny, cfg.ly, args.stretch_y)
         cfg = dataclasses.replace(cfg, **kw2)
+    if args.mg_smoother:
+        omega = 0.7 if args.mg_smoother.startswith("line") else 0.6
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(
+                cfg.solver, mg_smoother=args.mg_smoother, mg_omega=omega
+            )
+        )
 
     state, diags, grid = run_model(
         cfg,

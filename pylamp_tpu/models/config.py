@@ -50,6 +50,14 @@ class SolverConfig:
     # viscosity contrast: a marginal cycle amplifies when iterated)
     mg_pre_smooth: int = 3  # Chebyshev degree
     mg_post_smooth: int = 3
+    # V-cycle smoother: "chebyshev" (default; Pallas-fused where eligible),
+    # "jacobi", or line relaxation for anisotropic stretched grids —
+    # "line" (alternating y/x tridiagonal sweeps, solvers/lines.py),
+    # "line_y" / "line_x" (one axis).  Line smoothing requires
+    # non-periodic side walls.
+    mg_smoother: str = "chebyshev"
+    # damping for the jacobi / line smoothers (chebyshev ignores it)
+    mg_omega: float = 0.6
     # Extreme-contrast stabilizers (solvers/mg.py): diagonally-scaled
     # transfers + per-level minimal-residual damping of the coarse
     # correction.  Makes the V-cycle monotone at sticky-air-scale sharp

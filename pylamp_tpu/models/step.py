@@ -171,6 +171,8 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             cycles=solver.mg_cycles,
             pre_smooth=solver.mg_pre_smooth,
             post_smooth=solver.mg_post_smooth,
+            smoother=solver.mg_smoother,
+            omega=solver.mg_omega,
             use_pallas=solver.use_pallas,
             use_pallas_smoother=(solver.use_pallas_smoother and not batched),
             scaled_transfers=solver.mg_scaled_transfers,

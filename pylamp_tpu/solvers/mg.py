@@ -391,6 +391,21 @@ def make_velocity_mg(
         def _constrain(l, *arrays):
             return arrays
 
+    # line smoothers (solvers/lines.py): exact tridiagonal sub/super
+    # diagonals of the momentum stencil along each sweep axis, per level
+    line_coeffs = None
+    if smoother in ("line", "line_y", "line_x"):
+        from pylamp_tpu.solvers.lines import line_axes, momentum_line_coeffs
+
+        sweep_axes = line_axes(smoother)
+        line_coeffs = [
+            {
+                ax: momentum_line_coeffs(es, en, g, bcs, ax)
+                for ax in sweep_axes
+            }
+            for (es, en), g in zip(etas, grids)
+        ]
+
     lam_max = []
     if smoother == "chebyshev":
         for l in range(nlev):
@@ -448,6 +463,31 @@ def make_velocity_mg(
             )
 
         import jax.lax as _lax
+
+        if line_coeffs is not None:
+            # damped line Jacobi: x += omega * T^-1 (r - A x) with
+            # T = D + L_axis + U_axis solved exactly by cyclic reduction,
+            # alternating the axis within each iteration ("line" = xy)
+            from pylamp_tpu.solvers.lines import tridiag_pcr
+
+            coeffs = line_coeffs[l]
+
+            def lsweep(ex, ey):
+                for ax, (svx, pvx, svy, pvy) in coeffs.items():
+                    axx, ayy = momentum_apply(ex, ey, es, en, g, bcs, kb,
+                                              use_pallas=use_pallas,
+                                              eta_prepped=preps[l],
+                                              halo_mesh=hmesh[l])
+                    ex = ex + omega * tridiag_pcr(svx, dvx, pvx, rx - axx,
+                                                  axis=ax)
+                    ey = ey + omega * tridiag_pcr(svy, dvy, pvy, ry - ayy,
+                                                  axis=ax)
+                return ex, ey
+
+            def lbody(_, st):
+                return lsweep(*st)
+
+            return _lax.fori_loop(0, iters, lbody, (ex, ey))
 
         if smoother == "jacobi":
             def jbody(_, st):
