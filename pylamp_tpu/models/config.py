@@ -119,6 +119,11 @@ class SolverConfig:
     # "mg" keeps CG iteration counts mesh-independent when diffusion
     # dominates (steady/large-dt problems) — solvers/energy_mg.py.
     energy_preconditioner: str = "jacobi"
+    # Energy V-cycle smoother (with energy_preconditioner="mg"):
+    # "chebyshev", or "line"/"line_y"/"line_x" tridiagonal relaxation for
+    # anisotropic stretched grids (coefficients probe-extracted from the
+    # level operator; shares mg_omega).
+    energy_mg_smoother: str = "chebyshev"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -409,6 +409,8 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 k_avg=phys.k_face_avg,
                 preconditioner=solver.energy_preconditioner,
                 halo_mesh=halo_mesh,
+                mg_smoother=solver.energy_mg_smoother,
+                mg_omega=solver.mg_omega,
             )
         else:
             esol = solve_energy(
@@ -418,6 +420,8 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 k_avg=phys.k_face_avg,
                 preconditioner=solver.energy_preconditioner,
                 halo_mesh=halo_mesh,
+                mg_smoother=solver.energy_mg_smoother,
+                mg_omega=solver.mg_omega,
             )
         T_new = esol.T.astype(dtype)
 

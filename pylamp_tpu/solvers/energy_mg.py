@@ -102,12 +102,21 @@ def make_energy_mg_preconditioner(
     post_smooth: int = 2,
     coarse_iters: int = 16,
     halo_mesh=None,
+    smoother: str = "chebyshev",
+    omega: float = 0.7,
 ):
     """Returns M(r) -> z: one V-cycle on the energy operator from a zero
     initial guess (an SPD-ish preconditioner for CG).  ``halo_mesh`` routes
     every level's operator application through the explicit shard_map halo
     path (parallel/halo_ops.py; per-level eligibility is checked inside
-    ops.energy.energy_operator)."""
+    ops.energy.energy_operator).
+
+    ``smoother``: "chebyshev" (default), or damped line relaxation for
+    anisotropic stretched grids — "line" (alternating y/x tridiagonal
+    sweeps), "line_y"/"line_x" (one axis).  Line coefficients are probe-
+    extracted from the level operator itself (solvers/lines.py
+    stencil_line_coeffs), so every BC/averaging variant is exact by
+    construction; x lines require non-periodic side walls."""
     from pylamp_tpu.solvers.energy_solver import energy_diagonal
 
     nlev = _num_levels(grid, levels)
@@ -132,18 +141,49 @@ def make_energy_mg_preconditioner(
         return energy_operator(T, kl, rl, grids[l], bcs, kbnd=kbnds[l],
                                k_avg=k_avg, halo_mesh=halo_mesh)
 
+    lines = None
+    if smoother in ("line", "line_y", "line_x"):
+        from pylamp_tpu.solvers.lines import line_axes, stencil_line_coeffs
+
+        sweep_axes = line_axes(smoother)
+        if bcs.periodic_x and 1 in sweep_axes:
+            raise ValueError("x-line smoothing requires non-periodic side "
+                             "walls (use smoother='line_y')")
+        lines = [
+            {
+                ax: stencil_line_coeffs(
+                    (lambda v, l=l: apply_l(l, v)),
+                    grids[l].shape_corner, ax, dtype,
+                )
+                for ax in sweep_axes
+            }
+            for l in range(nlev)
+        ]
+    elif smoother != "chebyshev":
+        raise ValueError(f"unknown energy MG smoother {smoother!r}")
+
     lam = [
         1.1
         * _power_lambda_max(
             (lambda v, l=l: apply_l(l, v) / diags[l]), grids[l].shape_corner, dtype
         )
         for l in range(nlev)
-    ]
+    ] if lines is None else None
 
     def smooth(l, x, b, iters):
         from jax import lax
 
         d = diags[l]
+        if lines is not None:
+            from pylamp_tpu.solvers.lines import tridiag_pcr
+
+            def lbody(_, x):
+                for ax, (sub, sup) in lines[l].items():
+                    r = b - apply_l(l, x)
+                    x = x + omega * tridiag_pcr(sub, d, sup, r, axis=ax)
+                return x
+
+            return lax.fori_loop(0, iters, lbody, x)
         lmax = lam[l]
         lmin = lmax / 4.0
         theta = 0.5 * (lmax + lmin)

@@ -158,6 +158,37 @@ def momentum_line_coeffs(eta_s, eta_n, grid: StaggeredGrid, bcs: VelocityBCs,
     raise ValueError(f"axis must be 0 (y lines) or 1 (x lines), got {axis}")
 
 
+def stencil_line_coeffs(apply_fn, shape, axis: int, dtype):
+    """Exact sub/super-diagonals along ``axis`` of ANY linear distance-1
+    (5-point) stencil operator, extracted with nine 3-periodic comb probes:
+    e_{r,s}[j,i] = 1 iff (j mod 3, i mod 3) == (r, s).  Reading (A e)[j,i]
+    at (j ± 1) mod 3 == r, i mod 3 == s isolates the single y-neighbor
+    coupling (no same-node or x-neighbor of (j,i) lies in that comb — this
+    also holds under periodic x wrap for axis=0), and symmetrically for x.
+    Boundary entries come out exactly zero.  Nine operator applications;
+    used by the energy multigrid where the coefficients would otherwise
+    need BC-ghost-aware rederivation per discretization."""
+    import jax.lax as lax
+
+    j = lax.broadcasted_iota(jnp.int32, shape, 0)
+    i = lax.broadcasted_iota(jnp.int32, shape, 1)
+    sub = jnp.zeros(shape, dtype)
+    sup = jnp.zeros(shape, dtype)
+    jm, jp = (j - 1) % 3, (j + 1) % 3
+    im, ip = (i - 1) % 3, (i + 1) % 3
+    for r in range(3):
+        for s in range(3):
+            e = ((j % 3 == r) & (i % 3 == s)).astype(dtype)
+            Ae = apply_fn(e)
+            if axis == 0:
+                sub = jnp.where((jm == r) & (i % 3 == s), Ae, sub)
+                sup = jnp.where((jp == r) & (i % 3 == s), Ae, sup)
+            else:
+                sub = jnp.where((j % 3 == r) & (im == s), Ae, sub)
+                sup = jnp.where((j % 3 == r) & (ip == s), Ae, sup)
+    return sub, sup
+
+
 def line_axes(smoother: str):
     """The sweep-axis sequence of a line-smoother name."""
     return {

@@ -183,6 +183,89 @@ def test_line_mg_converges_on_uniform_grid():
     assert iters < 60
 
 
+@pytest.mark.parametrize("stretched", [False, True])
+@pytest.mark.parametrize("axis", [0, 1])
+def test_energy_probe_coeffs_match_oracle_matrix(stretched, axis):
+    """stencil_line_coeffs (9-comb probe extraction) reproduces the oracle
+    energy matrix's sub/super-diagonals exactly, BC rows included."""
+    from pylamp_tpu.core.bc import ThermalBC, ThermalBCs
+    from pylamp_tpu.ops.energy import energy_operator
+    from pylamp_tpu.solvers.lines import stencil_line_coeffs
+    from tests.oracle.energy_oracle import EnergyOracle
+
+    nx, ny = 6, 5
+    kw = {}
+    if stretched:
+        kw = dict(x_edges=geometric_edges(nx, 1.3, 3.0),
+                  y_edges=geometric_edges(ny, 0.9, 2.0))
+    grid = StaggeredGrid(nx=nx, ny=ny, lx=1.3, ly=0.9, **kw)
+    bcs = ThermalBCs(top=ThermalBC("neumann", 0.0))
+    k = np.exp(RNG.normal(size=grid.shape_corner))
+    rc = np.exp(RNG.normal(size=grid.shape_corner))
+    kbnd = 5.0
+
+    oracle = EnergyOracle(nx, ny, grid.lx, grid.ly, bcs,
+                          x_edges=grid.x_edges, y_edges=grid.y_edges)
+    A = oracle.assemble(k, rc, kbnd=kbnd).tocsr()
+
+    def op(T):
+        return energy_operator(T, jnp.asarray(k), jnp.asarray(rc), grid, bcs,
+                               kbnd=kbnd)
+
+    sub, sup = (np.asarray(z) for z in stencil_line_coeffs(
+        op, grid.shape_corner, axis, jnp.float64))
+
+    ncol = nx + 1
+    dj, di = (1, 0) if axis == 0 else (0, 1)
+    for j in range(ny + 1):
+        for i in range(nx + 1):
+            row = j * ncol + i
+            jm, im, jp, ip = j - dj, i - di, j + dj, i + di
+            want_sub = A[row, jm * ncol + im] if (jm >= 0 and im >= 0) else 0.0
+            want_sup = (A[row, jp * ncol + ip]
+                        if (jp <= ny and ip <= nx) else 0.0)
+            np.testing.assert_allclose(sub[j, i], want_sub,
+                                       rtol=1e-12, atol=1e-12)
+            np.testing.assert_allclose(sup[j, i], want_sup,
+                                       rtol=1e-12, atol=1e-12)
+
+
+def test_energy_line_mg_on_anisotropic_grid():
+    """Diffusion-dominated energy solve on a 16x y-refined grid: line-MG
+    converges, beats chebyshev-MG's iteration count, matches the oracle."""
+    from pylamp_tpu.core.bc import ThermalBCs
+    from pylamp_tpu.solvers.energy_solver import solve_energy
+    from tests.oracle.energy_oracle import EnergyOracle
+
+    nx = ny = 32
+    grid = StaggeredGrid(nx=nx, ny=ny, lx=2.0, ly=1.0,
+                         y_edges=geometric_edges(ny, 1.0, 16.0))
+    bcs = ThermalBCs()
+    rng = np.random.default_rng(8)
+    k = np.exp(rng.normal(size=grid.shape_corner) * 0.5)
+    T0 = rng.normal(size=grid.shape_corner)
+    rc = np.full(grid.shape_corner, 1e-3)  # diffusion-dominated
+    H = rng.normal(size=grid.shape_corner) * 0.1
+
+    def run(smoother):
+        return solve_energy(
+            jnp.asarray(T0), jnp.asarray(k), jnp.asarray(rc), jnp.asarray(H),
+            grid, bcs, tol=1e-11, maxiter=600, preconditioner="mg",
+            mg_smoother=smoother, mg_omega=0.8,
+        )
+
+    sol_line = run("line")
+    assert bool(sol_line.info.converged)
+    sol_cheb = run("chebyshev")
+    assert int(sol_line.info.iterations) < int(sol_cheb.info.iterations)
+
+    oracle = EnergyOracle(nx, ny, grid.lx, grid.ly, bcs,
+                          x_edges=grid.x_edges, y_edges=grid.y_edges)
+    want = oracle.solve(T0, k, rc, H)
+    np.testing.assert_allclose(np.asarray(sol_line.T), want,
+                               atol=1e-8 * np.max(np.abs(want)))
+
+
 def test_line_smoother_rejects_periodic():
     grid = StaggeredGrid(nx=8, ny=8, lx=1.0, ly=1.0)
     with pytest.raises(ValueError, match="periodic"):
