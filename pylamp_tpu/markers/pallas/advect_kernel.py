@@ -45,7 +45,7 @@ PAD_BOT = 15
 
 def _kernel(dt_h, xs_h, ys_h, vs_h, vxp_h, vyp_h, ox, oy,
             dt_v, xs, ys, vs, vxw, vyw, sems, *, br, K, ny, nx, dx, dy, reach,
-            vx_rows, vy_rows, lx, ly):
+            vx_rows, vy_rows, lx, ly, periodic_x=False):
     f32 = jnp.float32
     i32 = jnp.int32
     r = reach
@@ -91,8 +91,13 @@ def _kernel(dt_h, xs_h, ys_h, vs_h, vxp_h, vyp_h, ox, oy,
     def _do_sample(Vb, rows_n, cols_n, fx, fy, vl):
         """Bilinear sample of a velocity lattice in its array coords: the
         marker in cell (cj, ci) only ever reads array rows cj + bs and
-        cols ci + bs (precondition: displacement bounded by `reach`)."""
-        i0 = jnp.clip(jnp.floor(fx), f32(0.0), f32(cols_n - 2))
+        cols ci + bs (precondition: displacement bounded by `reach`).
+        Periodic sides: no x clamp — out-of-range i0 reads the host-built
+        wrapped column planes (same convention as the XLA _sample_padded)."""
+        if periodic_x:
+            i0 = jnp.floor(fx)
+        else:
+            i0 = jnp.clip(jnp.floor(fx), f32(0.0), f32(cols_n - 2))
         j0 = jnp.clip(jnp.floor(fy), f32(0.0), f32(rows_n - 2))
         tx = jnp.clip(fx - i0, f32(0.0), f32(1.0))
         ty = jnp.clip(fy - j0, f32(0.0), f32(1.0))
@@ -130,7 +135,11 @@ def _kernel(dt_h, xs_h, ys_h, vs_h, vxp_h, vyp_h, ox, oy,
         six = dt * f32(1.0 / 6.0)
         xn = x + six * (k1x + f32(2.0) * k2x + f32(2.0) * k3x + k4x)
         yn = y + six * (k1y + f32(2.0) * k2y + f32(2.0) * k3y + k4y)
-        ox[s] = jnp.clip(xn, f32(1e-6 * dx), f32(lx - 1e-6 * dx))
+        if periodic_x:
+            # wrap into [0, lx) exactly like the XLA path's _wrap_x
+            ox[s] = xn - f32(lx) * jnp.floor(xn * f32(1.0 / lx))
+        else:
+            ox[s] = jnp.clip(xn, f32(1e-6 * dx), f32(lx - 1e-6 * dx))
         oy[s] = jnp.clip(yn, f32(1e-6 * dy), f32(ly - 1e-6 * dy))
         return carry
 
@@ -184,11 +193,15 @@ def advect_rk4_pallas(bm, vx, vy, dt, grid: StaggeredGrid, bcs: VelocityBCs,
     f32, i32 = jnp.float32, jnp.int32
 
     # ghost-padded velocity lattices (same construction as the XLA path)
+    periodic = bcs.periodic_x
     top = bcs.s_top * vx[:1] + (1.0 - bcs.s_top) * bcs.vt_top
     bot = bcs.s_bottom * vx[-1:] + (1.0 - bcs.s_bottom) * bcs.vt_bottom
     vx_p = jnp.concatenate([top, vx, bot], axis=0)  # (ny+2, nx+1)
-    left = bcs.s_left * vy[:, :1] + (1.0 - bcs.s_left) * bcs.vt_left
-    right = bcs.s_right * vy[:, -1:] + (1.0 - bcs.s_right) * bcs.vt_right
+    if periodic:
+        left, right = vy[:, -1:], vy[:, :1]
+    else:
+        left = bcs.s_left * vy[:, :1] + (1.0 - bcs.s_left) * bcs.vt_left
+        right = bcs.s_right * vy[:, -1:] + (1.0 - bcs.s_right) * bcs.vt_right
     vy_p = jnp.concatenate([left, vy, right], axis=1)  # (ny+1, nx+2)
 
     def prep_m(arr, dtype):
@@ -204,14 +217,24 @@ def advect_rk4_pallas(bm, vx, vy, dt, grid: StaggeredGrid, bcs: VelocityBCs,
     W = nx + 128
     nb = ny // br
 
-    def prep_v(vp):
+    def prep_v(vp, col_offset=0):
         rows, cols = vp.shape
         hpad = nb * br + 8  # window start max = (nb-1)*br, depth br+8
+        if periodic:
+            # padded lane q holds array col q - r, WRAPPED: array col c maps
+            # to core col (c - col_offset) mod nx (core = the unique period;
+            # same convention as the XLA _sample_padded periodic extension)
+            import numpy as np
+
+            core = vp[:, col_offset : col_offset + nx]
+            idx = (np.arange(W) - r - col_offset) % nx
+            ext = core[:, idx].astype(f32)
+            return jnp.pad(ext, ((r, hpad - rows - r), (0, 0)))
         return jnp.pad(vp.astype(f32),
                        ((r, hpad - rows - r), (r, W - cols - r)))
 
-    vxp = prep_v(vx_p)
-    vyp = prep_v(vy_p)
+    vxp = prep_v(vx_p, col_offset=0)
+    vyp = prep_v(vy_p, col_offset=1)
 
     in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     dt_arr = jnp.broadcast_to(jnp.asarray(dt, f32), (8, 128))
@@ -232,7 +255,7 @@ def advect_rk4_pallas(bm, vx, vy, dt, grid: StaggeredGrid, bcs: VelocityBCs,
         kernel = functools.partial(
             _kernel, br=br, K=kc, ny=ny, nx=nx, dx=float(grid.dx),
             dy=float(grid.dy), reach=r, vx_rows=ny + 2, vy_rows=ny + 1,
-            lx=float(grid.lx), ly=float(grid.ly),
+            lx=float(grid.lx), ly=float(grid.ly), periodic_x=periodic,
         )
         return pl.pallas_call(
             kernel,

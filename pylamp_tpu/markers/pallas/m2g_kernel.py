@@ -87,7 +87,7 @@ def _plan(phys_flags):
 
 def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, *refs,
             br, K, ny, nx, dx, dy, tbl, eta_mode, eta_min, eta_max,
-            phys_flags, n_out):
+            phys_flags, n_out, periodic_x=False):
     """Grid dim 0 = node-row blocks; node rows [i*br, i*br + br)."""
     out_refs = refs[:n_out]
     xs, ys, Ts, ms, vs, sems = refs[n_out:]
@@ -179,8 +179,13 @@ def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, *refs,
         txc = jnp.clip(fx - colf, f32(0.0), f32(1.0))
         cxc = {0: (f32(1.0) - txc) * vl, 1: txc * vl}
         # center-kind x: i0 = clip(floor(fx - .5), 0, nx-2); o_i in {-1, 0}
+        # (periodic sides: no clamp — seam markers keep their natural
+        # i0 = -1 / nx-1 and the caller's combine wraps the b planes)
         fxn = fx - f32(0.5)
-        i0n = jnp.clip(jnp.floor(fxn), f32(0.0), f32(nx - 2))
+        if periodic_x:
+            i0n = jnp.floor(fxn)
+        else:
+            i0n = jnp.clip(jnp.floor(fxn), f32(0.0), f32(nx - 2))
         txn = jnp.clip(fxn - i0n, f32(0.0), f32(1.0))
         oim1 = (i0n == colf - f32(1.0)).astype(f32)
         oi0 = (i0n == colf).astype(f32)
@@ -267,7 +272,8 @@ def m2g_fused_eligible(ny: int, nx: int, K: int, block_rows: int = 8) -> bool:
 def m2g_fused_pallas(bm, grid: StaggeredGrid, table, phys,
                      block_rows: int = 8, with_energy: bool = False,
                      with_ra: bool = False, interpret: bool = False,
-                     slot_chunk: int | None = None):
+                     slot_chunk: int | None = None,
+                     periodic_x: bool = False):
     """Fused marker->grid transfer of every per-step stream.
 
     Returns a dict of RAW weighted sums and weights per lattice (already
@@ -313,7 +319,7 @@ def m2g_fused_pallas(bm, grid: StaggeredGrid, table, phys,
             _kernel, br=br, K=kc, ny=ny, nx=nx, dx=float(grid.dx),
             dy=float(grid.dy), tbl=tbl, eta_mode=phys.eta_avg,
             eta_min=float(phys.eta_min), eta_max=float(phys.eta_max),
-            phys_flags=flags, n_out=n_out,
+            phys_flags=flags, n_out=n_out, periodic_x=periodic_x,
         )
         scratch = [
             pltpu.VMEM((kc, br + PAD_TOP + 7, nx), f32),
@@ -353,7 +359,17 @@ def m2g_fused_pallas(bm, grid: StaggeredGrid, table, phys,
     # -- combine b-offset planes to node-lattice shapes -------------------
     def combine(planes, bs, rows, cols):
         """planes[k] holds contributions to node col = cell col + bs[k],
-        stored at the cell's lane; shift-add into a (rows, cols) field."""
+        stored at the cell's lane; shift-add into a (rows, cols) field.
+        Periodic sides: node columns wrap with period nx, and nx+1-wide
+        lattices re-emit the full seam sum in BOTH seam columns (exactly
+        the XLA bucket_markers_to_grid convention)."""
+        if periodic_x:
+            Fu = jnp.zeros((rows, nx), f32)
+            for b, P in zip(bs, planes):
+                Fu = Fu + jnp.roll(P[:rows, :], b, axis=1)
+            if cols == nx + 1:
+                return jnp.concatenate([Fu, Fu[:, :1]], axis=1)
+            return Fu
         F = jnp.zeros((rows, cols), f32)
         for b, P in zip(bs, planes):
             P = P[:rows, :]

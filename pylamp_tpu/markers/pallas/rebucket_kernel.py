@@ -40,7 +40,8 @@ PAD_BOT = 15  # ... and enough below that every 16-row aligned window fits:
 
 
 def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, ox, oy, oT, om, ov, oc,
-            xs, ys, Ts, ms, vs, sems, *, br, K, ny, nx, dx, dy):
+            xs, ys, Ts, ms, vs, sems, *, br, K, ny, nx, dx, dy,
+            periodic_x=False):
     """Grid dim 0 = row blocks.  Inputs stay in HBM (overlapping halo
     windows are not expressible as BlockSpec blocks) and are DMA'd per
     block into the (K, br+2*PAD, nx) scratch buffers; outputs are written
@@ -86,10 +87,14 @@ def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, ox, oy, oT, om, ov, oc,
 
     def shift_x(p, b):
         # lane-rotate + edge mask (Mosaic supports tpu.rotate; lane
-        # concatenation of mixed-offset vectors does not legalize)
+        # concatenation of mixed-offset vectors does not legalize).
+        # Periodic side walls: the rotate's wrap-around IS the physical
+        # neighbor (cell col 0's left neighbor is col nx-1), so keep it.
         if b == 0:
             return p
         r = jnp.roll(p, -b, axis=1)
+        if periodic_x:
+            return r
         if b > 0:  # source col i+b: wrapped tail lanes are out of range
             return jnp.where(col < nx - b, r, jnp.zeros_like(r))
         return jnp.where(col >= -b, r, jnp.zeros_like(r))
@@ -162,9 +167,11 @@ def rebucket_eligible(ny: int, nx: int, K: int, block_rows: int = 8) -> bool:
 
 
 def rebucket_pallas(bm, grid: StaggeredGrid, block_rows: int = 8,
-                    interpret: bool = False):
+                    interpret: bool = False, periodic_x: bool = False):
     """Drop-in replacement for markers/bucket.py ``rebucket`` on eligible
-    shapes (nx % 128 == 0): returns (new_bm, dropped)."""
+    shapes (nx % 128 == 0): returns (new_bm, dropped).  ``periodic_x``
+    wraps the 3x3 exchange in x (markers crossing the seam repack into
+    the opposite edge column, positions already wrapped by advection)."""
     from pylamp_tpu.markers.bucket import BucketedMarkers
 
     ny, nx, K = bm.x.shape
@@ -192,7 +199,8 @@ def rebucket_pallas(bm, grid: StaggeredGrid, block_rows: int = 8,
     import functools
 
     kernel = functools.partial(
-        _kernel, br=br, K=K, ny=ny, nx=nx, dx=float(grid.dx), dy=float(grid.dy)
+        _kernel, br=br, K=K, ny=ny, nx=nx, dx=float(grid.dx),
+        dy=float(grid.dy), periodic_x=periodic_x,
     )
     scratch = [
         pltpu.VMEM((K, br + PAD_TOP + 7, nx), f32),

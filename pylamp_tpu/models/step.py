@@ -226,7 +226,6 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             if (solver.use_pallas_m2g
                     and mesh is None
                     and not batched
-                    and not periodic  # the fused kernel has no wrap path
                     and grid.uniform  # kernel index math assumes uniform cells
                     and dtype == jnp.float32
                     and m2g_fused_eligible(_ny, _nx, _K)):
@@ -255,7 +254,8 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
         dtype = m.x.dtype
         with_ra = phys.adiabatic_heating and phys.solve_energy
         out = m2g_fused_pallas(m, grid, table, phys,
-                               with_energy=phys.solve_energy, with_ra=with_ra)
+                               with_energy=phys.solve_energy, with_ra=with_ra,
+                               periodic_x=periodic)
 
         def mean_of(wv, w, fallback):
             return jnp.where(w > 0, wv / jnp.where(w == 0, 1.0, w), fallback)
@@ -484,7 +484,6 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             elif (solver.use_pallas_advect
                     and mesh is None
                     and not batched
-                    and not periodic  # no wrap path in the fused kernel
                     and grid.uniform  # kernel index math assumes uniform cells
                     and markers.x.dtype == jnp.float32
                     and advect_rk4_eligible(_ny, _nx, _K)):
@@ -506,11 +505,11 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 _ny, _nx, _K = markers.x.shape
                 if (mesh is None
                         and not batched
-                        and not periodic  # no wrap path in the kernel
                         and grid.uniform  # kernel index math assumes uniform cells
                         and markers.x.dtype == jnp.float32
                         and rebucket_eligible(_ny, _nx, _K)):
-                    markers, dropped = rebucket_pallas(markers, grid)
+                    markers, dropped = rebucket_pallas(markers, grid,
+                                                       periodic_x=periodic)
                 else:
                     markers, dropped = rebucket(markers, grid,
                                                 periodic_x=periodic)

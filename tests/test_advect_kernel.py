@@ -81,3 +81,22 @@ def test_advect_kernel_slot_chunked_bit_identical():
                           interpret=True, slot_chunk=2)
     np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
     np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))
+
+
+@pytest.mark.slow
+def test_advect_kernel_periodic_matches_xla():
+    """Periodic sides: wrapped velocity sampling + position wrap must
+    match the XLA bucketed RK4 (seam-crossing trajectories included)."""
+    bm, grid, vx, vy, _ = _setup(seed=11)
+    # seam-consistent vx (duplicated seam columns are one physical node)
+    # plus a uniform rightward drift so seam markers actually cross
+    vx = vx * 0.3 + 1.0
+    vx = vx.at[:, -1].set(vx[:, 0])
+    vmax = float(jnp.maximum(jnp.max(jnp.abs(vx)), jnp.max(jnp.abs(vy))))
+    dt = jnp.float32(0.4 * min(grid.dx, grid.dy) / vmax)
+    bcs = VelocityBCs(left="periodic", right="periodic")
+    a = bucket_advect_rk4(bm, vx, vy, dt, grid, bcs, stage_reach=1)
+    b = advect_rk4_pallas(bm, vx, vy, dt, grid, bcs, stage_reach=1,
+                          interpret=True)
+    assert _close(b.x, a.x)
+    assert _close(b.y, a.y)

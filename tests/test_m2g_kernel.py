@@ -123,3 +123,41 @@ def test_m2g_kernel_slot_chunked_matches():
         sa, sb = np.asarray(a[k], np.float64), np.asarray(b[k], np.float64)
         scale = max(np.max(np.abs(sa)), 1e-300)
         assert np.max(np.abs(sa - sb)) / scale < 5e-6, k
+
+
+@pytest.mark.slow
+def test_m2g_kernel_periodic_matches_xla():
+    """Periodic sides: wrapped combine + unclamped center-kind locate must
+    match the XLA bucketed transfers (equal full values in both seam
+    columns of the nx+1-wide lattices)."""
+    bm, grid, table, phys = _setup(seed=13)
+    out = m2g_fused_pallas(bm, grid, table, phys, with_energy=True,
+                           interpret=True, periodic_x=True)
+
+    eta_m = jnp.clip(table.viscosity_of(bm.mat, bm.T), phys.eta_min,
+                     phys.eta_max)
+    rho_m = table.density(bm.mat, bm.T)
+
+    def ref(vals, loc, mode):
+        f, w = bucket_markers_to_grid(bm, vals, grid, loc, mode,
+                                      periodic_x=True)
+        if mode == "geometric":
+            return jnp.where(w > 0, jnp.log(f) * w, 0.0), w
+        return f * w, w
+
+    r_eta_s, r_cw = ref(eta_m, "corner", "geometric")
+    r_eta_n, r_nw = ref(eta_m, "center", "geometric")
+    r_rho_vy, r_vyw = ref(rho_m, "vy", "arithmetic")
+    r_T, _ = ref(bm.T, "corner", "arithmetic")
+
+    tol = 2e-5
+    assert _rel(out["c_w"], r_cw) < tol
+    assert _rel(out["c_eta"], r_eta_s) < tol
+    assert _rel(out["n_w"], r_nw) < tol
+    assert _rel(out["n_eta"], r_eta_n) < tol
+    assert _rel(out["vy_w"], r_vyw) < tol
+    assert _rel(out["vy_rho"], r_rho_vy) < tol
+    assert _rel(out["c_T"], r_T) < tol
+    # seam columns of the nx+1-wide lattices carry the identical full sum
+    np.testing.assert_array_equal(np.asarray(out["c_w"][:, 0]),
+                                  np.asarray(out["c_w"][:, -1]))

@@ -55,3 +55,25 @@ def test_rebucket_kernel_overflow_drops_match():
     assert int(da) == int(db)
     np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
     np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+
+
+@pytest.mark.slow
+def test_rebucket_kernel_periodic_matches_xla():
+    """Periodic sides: the kernel's wrapped lane-rotate must repack
+    seam-crossing markers bit-identically to the XLA wrapped repack."""
+    bm, grid = _random_bm(8, 128, 3, seed=9)
+    # push seam-column markers across the seam (wrapped positions)
+    x = bm.x
+    shove = (jnp.arange(128)[None, :, None] == 0) & bm.valid
+    x = jnp.where(shove, (x - 1.5 * grid.dx) % grid.lx, x)
+    shove_r = (jnp.arange(128)[None, :, None] == 127) & bm.valid
+    x = jnp.where(shove_r, (x + 1.5 * grid.dx) % grid.lx, x)
+    bm = bm.replace(x=x)
+    a, da = rebucket(bm, grid, periodic_x=True)
+    b, db = rebucket_pallas(bm, grid, interpret=True, periodic_x=True)
+    assert int(da) == int(db)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    for f in ("x", "y", "T", "mat"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        )
