@@ -235,13 +235,23 @@ class StaggeredGrid:
         return ny * (nx + 1) + (ny + 1) * nx + ny * nx
 
     # -- coarsening (multigrid) ------------------------------------------
-    def coarsen(self) -> "StaggeredGrid":
-        """The 2x-coarser grid: every other edge survives (nx, ny must be
-        even).  Uniform stays uniform; stretched keeps its surviving edges."""
-        if self.nx % 2 or self.ny % 2:
-            raise ValueError("coarsen needs even nx, ny")
+    def coarsen(self, cx: bool = True, cy: bool = True) -> "StaggeredGrid":
+        """The 2x-coarser grid: every other edge survives along each
+        coarsened axis (that axis's cell count must be even).  ``cx``/``cy``
+        select the axes (semi-coarsening keeps one axis at its fine
+        resolution).  Uniform stays uniform; stretched keeps its surviving
+        edges."""
+        if not (cx or cy):
+            raise ValueError("coarsen needs at least one axis")
+        if (cx and self.nx % 2) or (cy and self.ny % 2):
+            raise ValueError("coarsen needs an even cell count on each "
+                             "coarsened axis")
         return StaggeredGrid(
-            nx=self.nx // 2, ny=self.ny // 2, lx=self.lx, ly=self.ly,
-            x_edges=None if self.x_edges is None else self.x_edges[::2],
-            y_edges=None if self.y_edges is None else self.y_edges[::2],
+            nx=self.nx // 2 if cx else self.nx,
+            ny=self.ny // 2 if cy else self.ny,
+            lx=self.lx, ly=self.ly,
+            x_edges=self.x_edges if not cx else (
+                None if self.x_edges is None else self.x_edges[::2]),
+            y_edges=self.y_edges if not cy else (
+                None if self.y_edges is None else self.y_edges[::2]),
         )

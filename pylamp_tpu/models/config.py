@@ -64,6 +64,14 @@ class SolverConfig:
     # viscosity jumps where the plain cycle diverges.
     mg_scaled_transfers: bool = False
     mg_ls_damp: bool = False
+    # Semi-coarsening for anisotropic cells (solvers/mg.py
+    # coarsening_plan): when one axis's minimum cell spacing is at least
+    # this factor smaller than the other's, coarsen only that finer axis
+    # until the aspect rebalances, then full-coarsen.  The standard
+    # point-smoother remedy for stretched/high-aspect grids (line smoothing
+    # is the complementary lever, mg_smoother="line*").  Square-cell grids
+    # build the identical full-coarsening hierarchy.  0 disables.
+    mg_semicoarsen: float = 2.0
     # Pressure Schur surrogate: "mass" = -(eta_n/kcont) local scaling;
     # "wbfbt" = weighted BFBT (solvers/bfbt.py) — contrast-robust for
     # sharp-interface fields (sticky air), ~2 pressure-Poisson V-cycle

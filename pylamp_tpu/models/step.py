@@ -177,6 +177,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             use_pallas_smoother=(solver.use_pallas_smoother and not batched),
             scaled_transfers=solver.mg_scaled_transfers,
             ls_damp=solver.mg_ls_damp,
+            semicoarsen=solver.mg_semicoarsen,
             mesh=mesh,
             coarse_replicate=solver.mg_coarse_replicate,
             halo_mesh=halo_mesh,
@@ -411,6 +412,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 halo_mesh=halo_mesh,
                 mg_smoother=solver.energy_mg_smoother,
                 mg_omega=solver.mg_omega,
+                mg_semicoarsen=solver.mg_semicoarsen,
             )
         else:
             esol = solve_energy(
@@ -422,6 +424,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 halo_mesh=halo_mesh,
                 mg_smoother=solver.energy_mg_smoother,
                 mg_omega=solver.mg_omega,
+                mg_semicoarsen=solver.mg_semicoarsen,
             )
         T_new = esol.T.astype(dtype)
 

@@ -41,37 +41,50 @@ def _interleave_rows(a, b):
     return out.at[0::2, :].set(a).at[1::2, :].set(b)
 
 
-def prolong_corner(c):
+def prolong_corner(c, cx: bool = True, cy: bool = True):
     """Bilinear prolongation on the corner lattice: coarse (NY+1, NX+1) ->
-    fine (2NY+1, 2NX+1), coincident at even fine nodes."""
-    mid_r = 0.5 * (c[:-1, :] + c[1:, :])
-    e = _interleave_rows(c, mid_r)  # (2NY+1, NX+1)
-    mid_c = 0.5 * (e[:, :-1] + e[:, 1:])
-    return _interleave_rows(e.T, mid_c.T).T  # (2NY+1, 2NX+1)
+    fine (2NY+1, 2NX+1), coincident at even fine nodes.  ``cx``/``cy``
+    select the coarsened axes (semi-coarsening skips the interpolation
+    along the axis the two levels share)."""
+    if cy:
+        mid_r = 0.5 * (c[:-1, :] + c[1:, :])
+        e = _interleave_rows(c, mid_r)  # (2NY+1, NX+1)
+    else:
+        e = c
+    if cx:
+        mid_c = 0.5 * (e[:, :-1] + e[:, 1:])
+        e = _interleave_rows(e.T, mid_c.T).T  # (2NY+1, 2NX+1)
+    return e
 
 
-def restrict_corner(f, periodic_x: bool = False):
-    """Full weighting (P^T/4): fine (2NY+1, 2NX+1) -> coarse (NY+1, NX+1).
-    Boundary rows use the truncated stencil (exact adjoint of the
-    prolongation above).
+def restrict_corner(f, periodic_x: bool = False, cx: bool = True,
+                    cy: bool = True):
+    """Full weighting (P^T/4 — P^T/2 along a single semi-coarsened axis):
+    fine (2NY+1, 2NX+1) -> coarse (NY+1, NX+1).  Boundary rows use the
+    truncated stencil (exact adjoint of the prolongation above).
 
     ``periodic_x``: the fine seam columns (0 and 2NX, one physical node)
     each carry HALF the residual (ops/energy.py half-row convention); fold
     them, restrict with x wrap-around, and re-emit equal coarse halves."""
-    if periodic_x:
+    if periodic_x and cx:
         fu = f[:, :-1].at[:, 0].add(f[:, -1])  # unique columns, physical seam
         fz = jnp.concatenate([fu[:, -1:], fu], axis=1)  # left wrap ghost
-        g = 0.5 * fz[:, 0:-2:2] + fz[:, 1:-1:2] + 0.5 * fz[:, 2::2]
+        g = (0.5 * fz[:, 0:-2:2] + fz[:, 1:-1:2] + 0.5 * fz[:, 2::2]) / 2.0
+    elif cx:
+        # x: coarse col I <- 0.5 f[2I-1] + f[2I] + 0.5 f[2I+1]
+        fp = jnp.pad(f, ((0, 0), (1, 1)))
+        g = (0.5 * fp[:, 0:-2:2] + fp[:, 1:-1:2] + 0.5 * fp[:, 2::2]) / 2.0
+    else:
+        g = f
+    if cy:
         gp = jnp.pad(g, ((1, 1), (0, 0)))
-        cu = (0.5 * gp[0:-2:2, :] + gp[1:-1:2, :] + 0.5 * gp[2::2, :]) / 4.0
-        seam = 0.5 * cu[:, :1]
-        return jnp.concatenate([seam, cu[:, 1:], seam], axis=1)
-    fp = jnp.pad(f, 1)
-    # x then y: coarse col I <- 0.5 f[2I-1] + f[2I] + 0.5 f[2I+1]
-    g = 0.5 * fp[1:-1, 0:-2:2] + fp[1:-1, 1:-1:2] + 0.5 * fp[1:-1, 2::2]
-    gp = jnp.pad(g, ((1, 1), (0, 0)))
-    c = 0.5 * gp[0:-2:2, :] + gp[1:-1:2, :] + 0.5 * gp[2::2, :]
-    return c / 4.0
+        c = (0.5 * gp[0:-2:2, :] + gp[1:-1:2, :] + 0.5 * gp[2::2, :]) / 2.0
+    else:
+        c = g
+    if periodic_x and cx:
+        seam = 0.5 * c[:, :1]
+        c = jnp.concatenate([seam, c[:, 1:], seam], axis=1)
+    return c
 
 
 def _power_lambda_max(apply_binv_a, shape, dtype, iters: int = 12):
@@ -104,6 +117,7 @@ def make_energy_mg_preconditioner(
     halo_mesh=None,
     smoother: str = "chebyshev",
     omega: float = 0.7,
+    semicoarsen: float = 0.0,
 ):
     """Returns M(r) -> z: one V-cycle on the energy operator from a zero
     initial guess (an SPD-ish preconditioner for CG).  ``halo_mesh`` routes
@@ -119,17 +133,27 @@ def make_energy_mg_preconditioner(
     construction; x lines require non-periodic side walls."""
     from pylamp_tpu.solvers.energy_solver import energy_diagonal
 
-    nlev = _num_levels(grid, levels)
+    from pylamp_tpu.solvers.mg import coarsening_plan
+
+    plan = coarsening_plan(grid, levels, semi_threshold=semicoarsen)
+    nlev = len(plan) + 1
     dtype = k.dtype
 
     grids = [grid]
     coeffs = [(k, rhocp_over_dt)]
-    for _ in range(nlev - 1):
-        grids.append(grids[-1].coarsen())
+    for cx, cy in plan:
+        grids.append(grids[-1].coarsen(cx, cy))
         kl, rl = coeffs[-1]
         # corner nodes coincide: sample coefficients at the surviving nodes
-        coeffs.append((kl[::2, ::2], rl[::2, ::2]))
-    kbnds = [kbnd * (grids[0].dx_min / g.dx_min) ** 2 for g in grids]
+        sy = slice(None, None, 2) if cy else slice(None)
+        sx = slice(None, None, 2) if cx else slice(None)
+        coeffs.append((kl[sy, sx], rl[sy, sx]))
+    # kbnd scales with 1/(dx*dy) like the stencil (per-axis form so
+    # semi-coarsened levels scale correctly)
+    kbnds = [
+        kbnd * (grids[0].dx_min * grids[0].dy_min) / (g.dx_min * g.dy_min)
+        for g in grids
+    ]
     diags = [
         energy_diagonal(kl, rl, g, bcs, kb, k_avg)
         for (kl, rl), g, kb in zip(coeffs, grids, kbnds)
@@ -207,10 +231,12 @@ def make_energy_mg_preconditioner(
             return smooth(l, jnp.zeros_like(b), b, coarse_iters)
         x = smooth(l, jnp.zeros_like(b), b, pre_smooth)
         r = b - apply_l(l, x)
+        pcx, pcy = plan[l]
         # Dirichlet rows belong to the smoother on each level
-        rc = restrict_corner(jnp.where(masks[l], 0.0, r), bcs.periodic_x)
+        rc = restrict_corner(jnp.where(masks[l], 0.0, r), bcs.periodic_x,
+                             cx=pcx, cy=pcy)
         ec = vcycle(l + 1, jnp.where(masks[l + 1], 0.0, rc))
-        x = x + jnp.where(masks[l], 0.0, prolong_corner(ec))
+        x = x + jnp.where(masks[l], 0.0, prolong_corner(ec, cx=pcx, cy=pcy))
         return smooth(l, x, b, post_smooth)
 
     return lambda r: vcycle(0, r)

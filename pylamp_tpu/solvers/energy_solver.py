@@ -61,6 +61,7 @@ def solve_energy(
     halo_mesh=None,
     mg_smoother: str = "chebyshev",
     mg_omega: float = 0.7,
+    mg_semicoarsen: float = 0.0,
 ) -> EnergySolution:
     kbnd = jnp.mean(rhocp_over_dt) + 4.0 * jnp.mean(k) / min(grid.dx_min, grid.dy_min) ** 2
 
@@ -71,7 +72,7 @@ def solve_energy(
     b = energy_rhs(T_old, k, rhocp_over_dt, H, grid, bcs, kbnd=kbnd, k_avg=k_avg)
     M = _make_M(k, rhocp_over_dt, grid, bcs, kbnd, k_avg, preconditioner,
                 halo_mesh=halo_mesh, mg_smoother=mg_smoother,
-                mg_omega=mg_omega)
+                mg_omega=mg_omega, mg_semicoarsen=mg_semicoarsen)
 
     # the MG V-cycle is only approximately SPD -> flexible CG (krylov.fcg)
     solve = cg if preconditioner == "jacobi" else fcg
@@ -81,13 +82,14 @@ def solve_energy(
 
 def _make_M(k, rhocp_over_dt, grid, bcs, kbnd, k_avg, preconditioner: str,
             halo_mesh=None, mg_smoother: str = "chebyshev",
-            mg_omega: float = 0.7):
+            mg_omega: float = 0.7, mg_semicoarsen: float = 0.0):
     if preconditioner == "mg":
         from pylamp_tpu.solvers.energy_mg import make_energy_mg_preconditioner
 
         return make_energy_mg_preconditioner(
             k, rhocp_over_dt, grid, bcs, kbnd, k_avg=k_avg,
             halo_mesh=halo_mesh, smoother=mg_smoother, omega=mg_omega,
+            semicoarsen=mg_semicoarsen,
         )
     if preconditioner != "jacobi":
         raise ValueError(f"unknown energy preconditioner {preconditioner!r}")
@@ -111,6 +113,7 @@ def solve_energy_mixed(
     halo_mesh=None,
     mg_smoother: str = "chebyshev",
     mg_omega: float = 0.7,
+    mg_semicoarsen: float = 0.0,
 ) -> EnergySolution:
     """f32 CG inner solves inside f64 iterative refinement (see
     solvers/refine.py)."""
@@ -139,6 +142,7 @@ def solve_energy_mixed(
 
     M32 = _make_M(k32, rc32, grid, bcs, kbnd32, k_avg, preconditioner,
                   halo_mesh=halo_mesh, mg_smoother=mg_smoother,
+                  mg_semicoarsen=mg_semicoarsen,
                   mg_omega=mg_omega)
     solve32 = cg if preconditioner == "jacobi" else fcg
 

@@ -37,17 +37,33 @@ from pylamp_tpu.solvers.stokes_solver import velocity_diagonals
 
 # -- viscosity coarsening ------------------------------------------------------
 
-def coarsen_eta(eta_s, eta_n):
-    eta_n_c = jnp.exp(
-        0.25
-        * (
-            jnp.log(eta_n[0::2, 0::2])
-            + jnp.log(eta_n[0::2, 1::2])
-            + jnp.log(eta_n[1::2, 0::2])
-            + jnp.log(eta_n[1::2, 1::2])
+def coarsen_eta(eta_s, eta_n, cx: bool = True, cy: bool = True):
+    """Level-coarsened viscosities: eta_n by geometric mean over the merged
+    cells (2x2, or 2x1/1x2 under semi-coarsening), eta_s by injection at the
+    coincident corner nodes of the surviving edges."""
+    if cx and cy:
+        eta_n_c = jnp.exp(
+            0.25
+            * (
+                jnp.log(eta_n[0::2, 0::2])
+                + jnp.log(eta_n[0::2, 1::2])
+                + jnp.log(eta_n[1::2, 0::2])
+                + jnp.log(eta_n[1::2, 1::2])
+            )
         )
-    )
-    eta_s_c = eta_s[0::2, 0::2]  # coincident corner nodes
+        eta_s_c = eta_s[0::2, 0::2]  # coincident corner nodes
+    elif cx:
+        eta_n_c = jnp.exp(
+            0.5 * (jnp.log(eta_n[:, 0::2]) + jnp.log(eta_n[:, 1::2]))
+        )
+        eta_s_c = eta_s[:, 0::2]
+    elif cy:
+        eta_n_c = jnp.exp(
+            0.5 * (jnp.log(eta_n[0::2, :]) + jnp.log(eta_n[1::2, :]))
+        )
+        eta_s_c = eta_s[0::2, :]
+    else:
+        raise ValueError("coarsen_eta needs at least one axis")
     return eta_s_c, eta_n_c
 
 
@@ -66,11 +82,14 @@ def _interleave_cols(a, b):
 
 # -- vx-lattice transfers (shape (ny, nx+1)) -----------------------------------
 
-def prolong_vx(c, bcs: VelocityBCs):
+def prolong_vx(c, bcs: VelocityBCs, cx: bool = True, cy: bool = True):
     """Bilinear prolongation on the vx lattice (coarse (NY, NX+1) -> fine
     (2NY, 2NX+1)).  Fine even columns coincide with coarse columns; fine
     rows sit 1/4 and 3/4 of the way between coarse rows (ghost rows supply
     the wall behaviour of the correction).
+
+    ``cx``/``cy`` select the coarsened axes (semi-coarsening skips the
+    interpolation along the axis the two levels share).
 
     Periodic sides: the seam columns are real DOFs (solution-like arrays
     carry equal values in cols 0 and NX), so they are interpolated like
@@ -78,87 +97,123 @@ def prolong_vx(c, bcs: VelocityBCs):
     duplicated column."""
     if not bcs.periodic_x:
         c = c.at[:, 0].set(0.0).at[:, -1].set(0.0)  # Dirichlet subspace excluded
-    cg = jnp.concatenate([bcs.s_top * c[:1], c, bcs.s_bottom * c[-1:]], axis=0)
-    a0 = 0.25 * cg[:-2] + 0.75 * cg[1:-1]
-    a1 = 0.75 * cg[1:-1] + 0.25 * cg[2:]
-    e = _interleave_rows(a0, a1)  # (2NY, NX+1)
-    odd = 0.5 * (e[:, :-1] + e[:, 1:])
-    f = jnp.concatenate([_interleave_cols(e[:, :-1], odd), e[:, -1:]], axis=1)
+    if cy:
+        cg = jnp.concatenate([bcs.s_top * c[:1], c, bcs.s_bottom * c[-1:]], axis=0)
+        a0 = 0.25 * cg[:-2] + 0.75 * cg[1:-1]
+        a1 = 0.75 * cg[1:-1] + 0.25 * cg[2:]
+        e = _interleave_rows(a0, a1)  # (2NY, NX+1)
+    else:
+        e = c
+    if cx:
+        odd = 0.5 * (e[:, :-1] + e[:, 1:])
+        f = jnp.concatenate([_interleave_cols(e[:, :-1], odd), e[:, -1:]], axis=1)
+    else:
+        f = e
     if not bcs.periodic_x:
         # wall-normal Dirichlet columns belong to the smoother
         f = f.at[:, 0].set(0.0).at[:, -1].set(0.0)
     return f
 
 
-def restrict_vx(f, bcs: VelocityBCs):
-    """P^T/4 on the vx lattice (fine (2NY, 2NX+1) -> coarse (NY, NX+1)).
+def restrict_vx(f, bcs: VelocityBCs, cx: bool = True, cy: bool = True):
+    """P^T/4 on the vx lattice (fine (2NY, 2NX+1) -> coarse (NY, NX+1));
+    P^T/2 along the single coarsened axis under semi-coarsening.
 
     Periodic sides: the fine seam columns each carry HALF the physical
     residual (ops/stokes.py half-row convention); fold them into one
     unique-column array, restrict with x wrap-around, and re-emit the
     coarse seam as equal halves."""
     if bcs.periodic_x:
+        if cy:
+            fg = jnp.concatenate(
+                [bcs.s_top * f[:1], f, bcs.s_bottom * f[-1:]], axis=0
+            )
+            g = (
+                0.25 * fg[0:-3:2]
+                + 0.75 * fg[1:-2:2]
+                + 0.75 * fg[2:-1:2]
+                + 0.25 * fg[3::2]
+            ) / 2.0  # (NY, 2NX+1), still half-valued at the seam columns
+        else:
+            g = f
+        if not cx:
+            return g
+        gu = g[:, :-1].at[:, 0].add(g[:, -1])  # unique columns, physical seam
+        gz = jnp.concatenate([gu[:, -1:], gu], axis=1)  # left wrap ghost
+        cu = (0.5 * gz[:, 0:-2:2] + 1.0 * gz[:, 1:-1:2] + 0.5 * gz[:, 2::2]) / 2.0
+        seam = 0.5 * cu[:, :1]
+        return jnp.concatenate([seam, cu[:, 1:], seam], axis=1)
+    f = f.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    if cy:
         fg = jnp.concatenate([bcs.s_top * f[:1], f, bcs.s_bottom * f[-1:]], axis=0)
+        # y: coarse row J <- 0.25 f[2J-1] + 0.75 f[2J] + 0.75 f[2J+1] + 0.25 f[2J+2]
         g = (
             0.25 * fg[0:-3:2]
             + 0.75 * fg[1:-2:2]
             + 0.75 * fg[2:-1:2]
             + 0.25 * fg[3::2]
-        )  # (NY, 2NX+1), still half-valued at the seam columns
-        gu = g[:, :-1].at[:, 0].add(g[:, -1])  # unique columns, physical seam
-        gz = jnp.concatenate([gu[:, -1:], gu], axis=1)  # left wrap ghost
-        cu = (0.5 * gz[:, 0:-2:2] + 1.0 * gz[:, 1:-1:2] + 0.5 * gz[:, 2::2]) / 4.0
-        seam = 0.5 * cu[:, :1]
-        return jnp.concatenate([seam, cu[:, 1:], seam], axis=1)
-    f = f.at[:, 0].set(0.0).at[:, -1].set(0.0)
-    fg = jnp.concatenate([bcs.s_top * f[:1], f, bcs.s_bottom * f[-1:]], axis=0)
-    # y: coarse row J <- 0.25 f[2J-1] + 0.75 f[2J] + 0.75 f[2J+1] + 0.25 f[2J+2]
-    g = (
-        0.25 * fg[0:-3:2]
-        + 0.75 * fg[1:-2:2]
-        + 0.75 * fg[2:-1:2]
-        + 0.25 * fg[3::2]
-    )  # (NY, 2NX+1)
-    # x: coarse col I <- 0.5 f[2I-1] + 1 f[2I] + 0.5 f[2I+1] (zero beyond walls)
-    gz = jnp.pad(g, ((0, 0), (1, 1)))
-    c = 0.5 * gz[:, 0:-2:2] + 1.0 * gz[:, 1:-1:2] + 0.5 * gz[:, 2::2]
-    c = c / 4.0
+        ) / 2.0  # (NY, 2NX+1)
+    else:
+        g = f
+    if cx:
+        # x: coarse col I <- 0.5 f[2I-1] + 1 f[2I] + 0.5 f[2I+1] (zero beyond walls)
+        gz = jnp.pad(g, ((0, 0), (1, 1)))
+        c = 0.5 * gz[:, 0:-2:2] + 1.0 * gz[:, 1:-1:2] + 0.5 * gz[:, 2::2]
+        c = c / 2.0
+    else:
+        c = g
     c = c.at[:, 0].set(0.0).at[:, -1].set(0.0)
     return c
 
 
 # -- vy-lattice transfers (shape (ny+1, nx)) -----------------------------------
 
-def prolong_vy(c, bcs: VelocityBCs):
+def prolong_vy(c, bcs: VelocityBCs, cx: bool = True, cy: bool = True):
     c = c.at[0, :].set(0.0).at[-1, :].set(0.0)
-    if bcs.periodic_x:
-        cg = jnp.concatenate([c[:, -1:], c, c[:, :1]], axis=1)
+    if cx:
+        if bcs.periodic_x:
+            cg = jnp.concatenate([c[:, -1:], c, c[:, :1]], axis=1)
+        else:
+            cg = jnp.concatenate(
+                [bcs.s_left * c[:, :1], c, bcs.s_right * c[:, -1:]], axis=1
+            )
+        a0 = 0.25 * cg[:, :-2] + 0.75 * cg[:, 1:-1]
+        a1 = 0.75 * cg[:, 1:-1] + 0.25 * cg[:, 2:]
+        e = _interleave_cols(a0, a1)  # (NY+1, 2NX)
     else:
-        cg = jnp.concatenate([bcs.s_left * c[:, :1], c, bcs.s_right * c[:, -1:]], axis=1)
-    a0 = 0.25 * cg[:, :-2] + 0.75 * cg[:, 1:-1]
-    a1 = 0.75 * cg[:, 1:-1] + 0.25 * cg[:, 2:]
-    e = _interleave_cols(a0, a1)  # (NY+1, 2NX)
-    odd = 0.5 * (e[:-1, :] + e[1:, :])
-    f = jnp.concatenate([_interleave_rows(e[:-1, :], odd), e[-1:, :]], axis=0)
+        e = c
+    if cy:
+        odd = 0.5 * (e[:-1, :] + e[1:, :])
+        f = jnp.concatenate([_interleave_rows(e[:-1, :], odd), e[-1:, :]], axis=0)
+    else:
+        f = e
     f = f.at[0, :].set(0.0).at[-1, :].set(0.0)
     return f
 
 
-def restrict_vy(f, bcs: VelocityBCs):
+def restrict_vy(f, bcs: VelocityBCs, cx: bool = True, cy: bool = True):
     f = f.at[0, :].set(0.0).at[-1, :].set(0.0)
-    if bcs.periodic_x:
-        fg = jnp.concatenate([f[:, -1:], f, f[:, :1]], axis=1)
+    if cx:
+        if bcs.periodic_x:
+            fg = jnp.concatenate([f[:, -1:], f, f[:, :1]], axis=1)
+        else:
+            fg = jnp.concatenate(
+                [bcs.s_left * f[:, :1], f, bcs.s_right * f[:, -1:]], axis=1
+            )
+        g = (
+            0.25 * fg[:, 0:-3:2]
+            + 0.75 * fg[:, 1:-2:2]
+            + 0.75 * fg[:, 2:-1:2]
+            + 0.25 * fg[:, 3::2]
+        ) / 2.0
     else:
-        fg = jnp.concatenate([bcs.s_left * f[:, :1], f, bcs.s_right * f[:, -1:]], axis=1)
-    g = (
-        0.25 * fg[:, 0:-3:2]
-        + 0.75 * fg[:, 1:-2:2]
-        + 0.75 * fg[:, 2:-1:2]
-        + 0.25 * fg[:, 3::2]
-    )
-    gz = jnp.pad(g, ((1, 1), (0, 0)))
-    c = 0.5 * gz[0:-2:2, :] + 1.0 * gz[1:-1:2, :] + 0.5 * gz[2::2, :]
-    c = c / 4.0
+        g = f
+    if cy:
+        gz = jnp.pad(g, ((1, 1), (0, 0)))
+        c = 0.5 * gz[0:-2:2, :] + 1.0 * gz[1:-1:2, :] + 0.5 * gz[2::2, :]
+        c = c / 2.0
+    else:
+        c = g
     c = c.at[0, :].set(0.0).at[-1, :].set(0.0)
     return c
 
@@ -243,6 +298,46 @@ def num_levels(grid: StaggeredGrid, requested: int = 0, min_cells: int = 4) -> i
     return n
 
 
+def coarsening_plan(
+    grid: StaggeredGrid,
+    requested: int = 0,
+    min_cells: int = 4,
+    semi_threshold: float = 0.0,
+) -> list:
+    """Per-level coarsening directions: a list of ``(cx, cy)`` steps, step l
+    taking level l to level l+1 (``nlev = len(plan) + 1``).
+
+    ``semi_threshold`` <= 0 reproduces full coarsening (``num_levels``
+    exactly).  > 0 enables SEMI-COARSENING for anisotropic cells: when one
+    axis's minimum spacing is at least ``semi_threshold`` times smaller than
+    the other's, only that (finer) axis is coarsened — the axis along which
+    point smoothers already damp errors well via the strong 1/h^2 coupling.
+    Each semi step halves the anisotropy, so the plan converges to balanced
+    cells and then full-coarsens; min-spacing ratios (rather than means)
+    capture refined-band stretched grids, whose tightest cells set the
+    smoother's difficulty."""
+    plan = []
+    g = grid
+    while requested <= 0 or len(plan) < requested - 1:
+        can_x = g.nx % 2 == 0 and g.nx > min_cells
+        can_y = g.ny % 2 == 0 and g.ny > min_cells
+        if semi_threshold <= 0:
+            if not (can_x and can_y):
+                break
+            step = (True, True)
+        elif g.dy_min >= semi_threshold * g.dx_min and can_x:
+            step = (True, False)  # cells tall: x is the finer axis
+        elif g.dx_min >= semi_threshold * g.dy_min and can_y:
+            step = (False, True)
+        elif can_x and can_y:
+            step = (True, True)
+        else:
+            break
+        plan.append(step)
+        g = g.coarsen(*step)
+    return plan
+
+
 def _power_lambda_max(apply_Binv_A, shape_x, shape_y, dtype, iters: int = 12):
     """Estimate lambda_max of D^-1 A on the coupled velocity space with
     power iteration (deterministic start vector; jittable)."""
@@ -289,6 +384,7 @@ def make_velocity_mg(
     mesh=None,
     coarse_replicate: int = 0,
     halo_mesh=None,
+    semicoarsen: float = 0.0,
 ):
     """Returns mg(rx, ry) -> (zx, zy): `cycles` handled by the caller.
 
@@ -322,15 +418,17 @@ def make_velocity_mg(
     above it stay sharded; GSPMD re-propagates the decomposed layout after
     the prolongation back out of the replicated sub-hierarchy.
     """
-    nlev = num_levels(grid, levels)
+    plan = coarsening_plan(grid, levels, semi_threshold=semicoarsen)
+    nlev = len(plan) + 1
     dtype = eta_n.dtype
 
     grids = [grid]
     etas = [(eta_s, eta_n)]
-    for _ in range(nlev - 1):
-        # stretched grids coarsen by dropping every other edge
-        grids.append(grids[-1].coarsen())
-        etas.append(coarsen_eta(*etas[-1]))
+    for cx, cy in plan:
+        # stretched grids coarsen by dropping every other edge (along the
+        # coarsened axes only under semi-coarsening)
+        grids.append(grids[-1].coarsen(cx, cy))
+        etas.append(coarsen_eta(*etas[-1], cx=cx, cy=cy))
 
     # explicit-halo applies per level: skip levels that are replicated
     # across the mesh (coarse_replicate) — resharding a replicated level
@@ -346,8 +444,13 @@ def make_velocity_mg(
     else:
         hmesh = [None] * nlev
 
-    # per-level smoother diagonals; kbnd scales with h^-2 like the stencil
-    kbnds = [kbnd * (grids[0].dx_min / g.dx_min) ** 2 for g in grids]
+    # per-level smoother diagonals; kbnd scales with 1/(dx*dy) like the
+    # stencil (the per-axis form so semi-coarsened levels scale correctly;
+    # identical to (dx0/dx)^2 under full coarsening)
+    kbnds = [
+        kbnd * (grids[0].dx_min * grids[0].dy_min) / (g.dx_min * g.dy_min)
+        for g in grids
+    ]
     diags = [
         velocity_diagonals(es, en, g, kb, bcs=bcs)
         for (es, en), g, kb in zip(etas, grids, kbnds)
@@ -553,22 +656,23 @@ def make_velocity_mg(
                                 use_pallas=use_pallas, eta_prepped=preps[l],
                                 halo_mesh=hmesh[l])
         rfx, rfy = rx - ax, ry - ay
+        pcx, pcy = plan[l]
         if scaled_transfers:
             sfx, sfy = scales[l]
             scx, scy = scales[l + 1]
-            rcx = scx * restrict_vx(rfx / sfx, bcs)
-            rcy = scy * restrict_vy(rfy / sfy, bcs)
+            rcx = scx * restrict_vx(rfx / sfx, bcs, cx=pcx, cy=pcy)
+            rcy = scy * restrict_vy(rfy / sfy, bcs, cx=pcx, cy=pcy)
             rcx, rcy = _constrain(l + 1, rcx, rcy)
             ecx, ecy = vcycle(l + 1, rcx, rcy)
-            pex = prolong_vx(scx * ecx, bcs) / sfx
-            pey = prolong_vy(scy * ecy, bcs) / sfy
+            pex = prolong_vx(scx * ecx, bcs, cx=pcx, cy=pcy) / sfx
+            pey = prolong_vy(scy * ecy, bcs, cx=pcx, cy=pcy) / sfy
         else:
-            rcx = restrict_vx(rfx, bcs)
-            rcy = restrict_vy(rfy, bcs)
+            rcx = restrict_vx(rfx, bcs, cx=pcx, cy=pcy)
+            rcy = restrict_vy(rfy, bcs, cx=pcx, cy=pcy)
             rcx, rcy = _constrain(l + 1, rcx, rcy)
             ecx, ecy = vcycle(l + 1, rcx, rcy)
-            pex = prolong_vx(ecx, bcs)
-            pey = prolong_vy(ecy, bcs)
+            pex = prolong_vx(ecx, bcs, cx=pcx, cy=pcy)
+            pey = prolong_vy(ecy, bcs, cx=pcx, cy=pcy)
         if ls_damp:
             aex, aey = momentum_apply(pex, pey, *etas[l], grids[l], bcs,
                                       kbnds[l], use_pallas=use_pallas,
@@ -620,6 +724,7 @@ def make_mg_preconditioner(
     mesh=None,
     coarse_replicate: int = 0,
     halo_mesh=None,
+    semicoarsen: float = 0.0,
     schur: str = "mass",
     schur_poisson_iters: int = 3,
     velocity_inner_iters: int = 0,
@@ -655,6 +760,7 @@ def make_mg_preconditioner(
         use_pallas_smoother=use_pallas_smoother and mesh is None,
         scaled_transfers=scaled_transfers, ls_damp=ls_damp,
         mesh=mesh, coarse_replicate=coarse_replicate, halo_mesh=halo_mesh,
+        semicoarsen=semicoarsen,
     )
     dtype = eta_n.dtype
 
