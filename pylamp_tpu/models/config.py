@@ -71,6 +71,11 @@ class SolverConfig:
     # point-smoother remedy for stretched/high-aspect grids (line smoothing
     # is the complementary lever, mg_smoother="line*").  Square-cell grids
     # build the identical full-coarsening hierarchy.  0 disables.
+    # NOTE: the config-level default is 2.0 (on), while the low-level
+    # library entry points (solvers.mg.make_velocity_mg,
+    # solvers.energy_mg.make_energy_mg_preconditioner) default to 0.0
+    # (full coarsening) — direct API callers opt in explicitly; the
+    # Vanka path (solvers/vanka.py) has no semicoarsen plumbing at all.
     mg_semicoarsen: float = 2.0
     # Pressure Schur surrogate: "mass" = -(eta_n/kcont) local scaling;
     # "wbfbt" = weighted BFBT (solvers/bfbt.py) — contrast-robust for

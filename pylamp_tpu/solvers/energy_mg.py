@@ -22,18 +22,6 @@ from pylamp_tpu.core.grid import StaggeredGrid
 from pylamp_tpu.ops.energy import _dirichlet_masks, energy_operator
 
 
-def _num_levels(grid: StaggeredGrid, requested: int = 0, min_cells: int = 4) -> int:
-    n = 1
-    nx, ny = grid.nx, grid.ny
-    while nx % 2 == 0 and ny % 2 == 0 and min(nx, ny) > min_cells:
-        nx //= 2
-        ny //= 2
-        n += 1
-    if requested > 0:
-        n = min(n, requested)
-    return n
-
-
 def _interleave_rows(a, b):
     """rows [a0, b0, a1, b1, ..., a_{n-1}]; a: (n, m), b: (n-1, m)."""
     n, m = a.shape

@@ -446,7 +446,10 @@ def make_velocity_mg(
 
     # per-level smoother diagonals; kbnd scales with 1/(dx*dy) like the
     # stencil (the per-axis form so semi-coarsened levels scale correctly;
-    # identical to (dx0/dx)^2 under full coarsening)
+    # identical to (dx0/dx)^2 when both axes coarsen proportionally, e.g.
+    # uniform grids — on stretched grids coarse min-spacings are not exactly
+    # 2x the fine ones, so the penalty scale differs slightly; benign, the
+    # kbnd rows only set the Dirichlet-row magnitude)
     kbnds = [
         kbnd * (grids[0].dx_min * grids[0].dy_min) / (g.dx_min * g.dy_min)
         for g in grids
