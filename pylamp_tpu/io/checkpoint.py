@@ -15,6 +15,10 @@ import numpy as np
 
 FORMAT_VERSION = 2
 
+# Leaves added after a format was in the wild: absent in old checkpoints,
+# filled from the template (zeros = "recompute") instead of erroring.
+_OPTIONAL_LEAVES = {"state.mg_lam"}
+
 
 def _path_str(path) -> str:
     parts = []
@@ -56,6 +60,9 @@ def load_checkpoint(path: str, template):
         leaves = []
         for p, leaf in paths:
             key = f"state.{_path_str(p)}"
+            if key not in z and key in _OPTIONAL_LEAVES:
+                leaves.append(jnp.asarray(leaf))
+                continue
             if key not in z:
                 raise KeyError(
                     f"checkpoint is missing leaf {key!r} — was it written with a "

@@ -58,6 +58,15 @@ class SolverConfig:
     mg_smoother: str = "chebyshev"
     # damping for the jacobi / line smoothers (chebyshev ignores it)
     mg_omega: float = 0.6
+    # Chebyshev lambda_max estimation (solvers/mg.py estimate_mg_lambdas):
+    # "gershgorin" (default on uniform grids) = rigorous analytic row-sum
+    # bound, no operator applies; "power" = per-level power iteration
+    # refreshed every mg_lam_refresh_every steps (warm-started through
+    # ModelState.mg_lam; the per-level dispatch costs ~21 ms/solve at
+    # 1024^2 on v5e, hence the cadence).  Non-uniform levels always use
+    # power iteration.
+    mg_lam_mode: str = "gershgorin"
+    mg_lam_refresh_every: int = 8
     # Extreme-contrast stabilizers (solvers/mg.py): diagonally-scaled
     # transfers + per-level minimal-residual damping of the coarse
     # correction.  Makes the V-cycle monotone at sticky-air-scale sharp

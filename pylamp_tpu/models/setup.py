@@ -70,6 +70,18 @@ def build(cfg: ModelConfig, dtype=jnp.float64):
 
     capacity = cfg.marker_capacity or 2 * cfg.markers_per_cell_dim**2
 
+    # Chebyshev-MG Stokes configs carry per-level lambda_max estimates in the
+    # state (warm-started across steps — solvers/mg.py estimate_mg_lambdas);
+    # the level count is static per (grid, solver config)
+    n_mg_levels = 0
+    if cfg.solver.preconditioner == "mg" and cfg.solver.mg_smoother == "chebyshev":
+        from pylamp_tpu.solvers.mg import coarsening_plan
+
+        n_mg_levels = len(coarsening_plan(
+            grid, cfg.solver.mg_levels,
+            semi_threshold=cfg.solver.mg_semicoarsen,
+        )) + 1
+
     @jax.jit
     def _make_state(xd, yd, matd, Td):
         if cfg.marker_engine == "bucket":
@@ -85,7 +97,7 @@ def build(cfg: ModelConfig, dtype=jnp.float64):
             )
         else:
             raise ValueError(f"unknown marker engine {cfg.marker_engine!r}")
-        state = zero_state(grid, markers, dtype)
+        state = zero_state(grid, markers, dtype, n_mg_levels=n_mg_levels)
         # Pre-fill grid mirrors (fallback values for starved nodes at step 1).
         eta_m = jnp.clip(
             table.viscosity_of(markers.mat, markers.T),

@@ -27,12 +27,19 @@ class ModelState:
     time: jnp.ndarray  # scalar
     step: jnp.ndarray  # scalar int
     dt: jnp.ndarray  # last dt taken
+    # Per-MG-level lambda_max estimates carried across steps (warm-started
+    # Chebyshev smoother bounds — solvers/mg.py estimate_mg_lambdas).
+    # Shape (n_levels,); zeros mean "no estimate yet" (step 1 runs the full
+    # power iteration).  None on configs without a Chebyshev-MG Stokes
+    # preconditioner (the leaf then simply doesn't exist in the pytree).
+    mg_lam: jnp.ndarray | None = None
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
 
 
-def zero_state(grid: StaggeredGrid, markers: MarkerState, dtype=jnp.float64) -> ModelState:
+def zero_state(grid: StaggeredGrid, markers: MarkerState, dtype=jnp.float64,
+               n_mg_levels: int = 0) -> ModelState:
     return ModelState(
         markers=markers,
         vx=jnp.zeros(grid.shape_vx, dtype),
@@ -44,4 +51,5 @@ def zero_state(grid: StaggeredGrid, markers: MarkerState, dtype=jnp.float64) -> 
         time=jnp.zeros((), dtype),
         step=jnp.zeros((), jnp.int32),
         dt=jnp.zeros((), dtype),
+        mg_lam=jnp.zeros((n_mg_levels,), dtype) if n_mg_levels > 0 else None,
     )

@@ -295,10 +295,56 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
         return InterpOut(eta_s, eta_n, rho_vx, rho_vy, k_m, rhocp_m, H_m,
                          T_old_g, k_g, rhocp_g, H_g, ra_g)
 
+    # the Chebyshev lambda_max bounds warm-start across steps via
+    # ModelState.mg_lam (solvers/mg.py estimate_mg_lambdas): 2 refresh
+    # power iterations per level instead of 12, floored at the previous
+    # step's bound
+    warmstart_lam = (
+        solver.preconditioner == "mg" and solver.mg_smoother == "chebyshev"
+    )
+
     # ---- phase 2: Stokes solve (warm-started) ------------------------------
     def stokes(state: ModelState, io: InterpOut):
         dtype = state.markers.x.dtype if not isinstance(state.markers, BucketedMarkers) \
             else state.markers.x.dtype
+        mk = make_precond
+        lam_new = None
+        if warmstart_lam and state.mg_lam is not None and state.mg_lam.shape[0] > 0:
+            from pylamp_tpu.solvers.mg import estimate_mg_lambdas
+            from pylamp_tpu.solvers.scaling import (
+                characteristic_viscosity,
+                stokes_scales,
+            )
+
+            wdtype = jnp.float32 if _mixed(dtype) else dtype
+            es_w = io.eta_s.astype(wdtype)
+            en_w = io.eta_n.astype(wdtype)
+            _, kbnd_w = stokes_scales(characteristic_viscosity(en_w), grid)
+            if solver.mg_lam_mode == "gershgorin" and grid.uniform:
+                # analytic bound: cheap enough to recompute every step
+                lam_new = estimate_mg_lambdas(
+                    es_w, en_w, grid, vbc, kbnd_w,
+                    levels=solver.mg_levels,
+                    semicoarsen=solver.mg_semicoarsen, mode="gershgorin",
+                )
+            else:
+                # power iteration: per-level dispatch dominates its cost,
+                # so refresh on a cadence and carry the bounds in the state
+                hint32 = state.mg_lam.astype(wdtype)
+                refresh = jnp.logical_or(
+                    state.step % solver.mg_lam_refresh_every == 0,
+                    hint32[0] <= 0,
+                )
+                lam_new = jax.lax.cond(
+                    refresh,
+                    lambda: estimate_mg_lambdas(
+                        es_w, en_w, grid, vbc, kbnd_w,
+                        levels=solver.mg_levels,
+                        semicoarsen=solver.mg_semicoarsen, hint=state.mg_lam,
+                    ),
+                    lambda: hint32,
+                )
+            mk = partial(make_precond, lam_max=lam_new)
         if _mixed(dtype):
             sol = solve_stokes_mixed(
                 io.eta_s, io.eta_n, io.rho_vx, io.rho_vy, phys.gx, phys.gy,
@@ -309,7 +355,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 maxiter=solver.stokes_maxiter,
                 max_refinements=solver.max_refinements,
                 x0=(state.vx, state.vy, state.p),
-                make_preconditioner=make_precond,
+                make_preconditioner=mk,
                 halo_mesh=halo_mesh,
                 use_pallas_apply=(solver.use_pallas_apply and mesh is None
                                   and not batched),
@@ -322,7 +368,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 restart=solver.stokes_restart,
                 maxiter=solver.stokes_maxiter,
                 x0=(state.vx, state.vy, state.p),
-                make_preconditioner=make_precond,
+                make_preconditioner=mk,
                 halo_mesh=halo_mesh,
             )
         vx = sol.vx.astype(dtype)
@@ -343,6 +389,10 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 )
             ),
         }
+        if lam_new is not None:
+            # internal: carried into the next ModelState by the step
+            # assemblers (make_step/make_phased_runner pop it from diag)
+            diag["_mg_lam"] = lam_new.astype(state.mg_lam.dtype)
         return vx, vy, p, diag
 
     # ---- dt selection (Courant + optional diffusion cap) --------------------
@@ -569,6 +619,7 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable,
     def step(state: ModelState) -> Tuple[ModelState, Dict[str, Any]]:
         io = ph.interp(state)
         vx, vy, p, diag = ph.stokes(state, io)
+        mg_lam = diag.pop("_mg_lam", state.mg_lam)
         dt = ph.timestep(vx, vy, io.k_m, io.rhocp_m)
         diag["dt"] = dt
         markers, T_new, ediag = ph.energy(state, io, vx, vy, dt)
@@ -587,6 +638,7 @@ def make_step(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable,
             time=state.time + dt,
             step=state.step + 1,
             dt=dt,
+            mg_lam=mg_lam,
         )
         return new_state, diag
 
@@ -650,6 +702,7 @@ def make_phased_runner(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTab
             vx, vy, p, diag = stokes_j(state, io)
             jax.block_until_ready(vx)
         secs["stokes"] = _time.perf_counter() - t0
+        mg_lam = diag.pop("_mg_lam", state.mg_lam)
 
         dt = ts_j(vx, vy, io.k_m, io.rhocp_m)
         diag["dt"] = dt
@@ -673,6 +726,7 @@ def make_phased_runner(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTab
             markers=markers, vx=vx, vy=vy, p=p, T=T_new,
             eta_s=io.eta_s, eta_n=io.eta_n,
             time=state.time + dt, step=state.step + 1, dt=dt,
+            mg_lam=mg_lam,
         )
         diag["phase_seconds"] = secs
         return new_state, diag

@@ -60,32 +60,43 @@ def _pick_h(iters: int):
     return None
 
 
-def _pick_block_rows(ny: int, nx: int, h: int):
+def _pick_block_rows(ny: int, nx: int, h: int, n_out: int = 2):
     """Largest block height whose kernel instance fits scoped VMEM.
-    Model: 12 double-buffered stream windows + 2 double-buffered output
-    blocks, x1.56 for Mosaic temporaries (calibrated: 2048^2 h=7 br=64
-    models 10.6 MB and measures 16.52 MB scoped)."""
+    Model: 12 double-buffered stream windows + ``n_out`` double-buffered
+    output blocks (2, or 4 with emit_residual), x1.56 for Mosaic
+    temporaries (calibrated: 2048^2 h=7 br=64 models 10.6 MB and measures
+    16.52 MB scoped)."""
     w128 = -(-(nx + 2) // 128) * 128
     for br in (64, 32, 16, 8):
         if ny % br:
             continue
-        vmem = (12 * (br + 2 * h + 2) + 4 * br) * w128 * 4
+        vmem = (12 * (br + 2 * h + 2) + 2 * n_out * br) * w128 * 4
         if vmem * 1.56 <= 15.5 * 1024 * 1024:
             return br
     return None
 
 
 def _kernel(coeffs_ref, scal_ref, exg_h, eyg_h, rx_h, ry_h, es_h, en_h,
-            ex_out, ey_out,
-            exg_b2, eyg_b2, rx_b2, ry_b2, es_b2, en_b2, sems,
-            *, br, grid, iters, zero_init, h=H):
+            *out_and_scratch,
+            br, grid, iters, zero_init, h=H, emit_residual=False):
     """Window row maps for halo depth h, top = h + 1 (padded row p =
     window row w + i*br):
       exg: vx row j  at w = j + top  (ghost top row at w = h for block 0)
       eyg: vy row j  at w = j + top
       rx : vx row j  at w = j + top    es: corner row J at w = J + top
       ry : vy row j  at w = j + top    en: center row j at w = j + top
-    (all relative to the block's first vx row r0v = i*br)."""
+    (all relative to the block's first vx row r0v = i*br).
+
+    ``emit_residual``: additionally output (rx - A ex, ry - A ey) of the
+    FINAL iterate — one extra in-VMEM stencil application, saving the
+    V-cycle's separate momentum_apply HBM pass.  Needs h >= iters + 1
+    (staleness advances one row per application; the residual is one more)."""
+    if emit_residual:
+        (ex_out, ey_out, rfx_out, rfy_out,
+         exg_b2, eyg_b2, rx_b2, ry_b2, es_b2, en_b2, sems) = out_and_scratch
+    else:
+        (ex_out, ey_out,
+         exg_b2, eyg_b2, rx_b2, ry_b2, es_b2, en_b2, sems) = out_and_scratch
     ny, nx = grid.ny, grid.nx
     dx, dy = grid.dx, grid.dy
     top = h + 1
@@ -171,10 +182,7 @@ def _kernel(coeffs_ref, scal_ref, exg_h, eyg_h, rx_h, ry_h, es_h, en_h,
     dxs = jnp.zeros_like(ex)
     dys = jnp.zeros_like(ey[:, 1 : nx + 1])
 
-    for k in range(iters):
-        c1, c2 = coeffs[k]
-
-        # --- BC fix-ups on current values ------------------------------
+    def bc_fix(ex, ey):
         # vx ghost rows (first/last block only): re-deriving the ghost
         # from the CURRENT first/last interior row every iteration keeps
         # wall physics exact (no staleness at domain boundaries)
@@ -191,39 +199,46 @@ def _kernel(coeffs_ref, scal_ref, exg_h, eyg_h, rx_h, ry_h, es_h, en_h,
         # vy ghost columns (every block, every iteration)
         ey = jnp.where(cw_iota_y == 0, s_left * ey[:, 1:2], ey)
         ey = jnp.where(cw_iota_y == nx + 1, s_right * ey[:, nx : nx + 1], ey)
+        return ex, ey
 
+    def apply_A(ex, ey):
+        """Coupled momentum stencil over the whole window.
+        Window row w holds: vx/cell/vy/corner row (w - top) relative to
+        the block's first vx row.  sxy at corner row J (w = J+top) uses
+        vx rows J-1 (w-1) and J (w) and vy row J (w); edge rows come
+        out garbage and are sacrificial (deep-halo argument above)."""
+        sxy = es * (
+            (ex - jnp.concatenate([ex[:1], ex[:-1]], axis=0)) / dy
+            + (ey[:, 1:] - ey[:, :-1]) / dx
+        )  # (W, nx+1): row w = corner row J = w - top + r0v; row 0 garbage
+        sxx = 2.0 * en_c * (ex[:, 1:] - ex[:, :-1]) / dx  # (W, nx) cell row at w
+        ey_c = ey[:, 1 : nx + 1]
+        syy = 2.0 * en_c * (
+            jnp.concatenate([ey_c[1:], ey_c[-1:]], axis=0) - ey_c
+        ) / dy  # (W, nx): cell row j at w uses vy rows j (w), j+1 (w+1)
+
+        # ax at vx row j (w): -(sxx[j,i]-sxx[j,i-1])/dx - (sxy[J=j+1]-sxy[J=j])/dy
+        sxy_dn = jnp.concatenate([sxy[1:], sxy[-1:]], axis=0)  # corner J=j+1
+        ax_int = (
+            -(sxx[:, 1:] - sxx[:, :-1]) / dx
+            - (sxy_dn[:, 1:-1] - sxy[:, 1:-1]) / dy
+        )  # (W, nx-1)
+        ax = jnp.concatenate(
+            [kb * ex[:, :1], ax_int, kb * ex[:, -1:]], axis=1
+        )
+        # ay at vy row j (w): -(syy[j]-syy[j-1])/dy - (sxy[J=j,i+1]-sxy[J=j,i])/dx
+        syy_up = jnp.concatenate([syy[:1], syy[:-1]], axis=0)  # cell j-1
+        ay_int = (
+            -(syy - syy_up) / dy - (sxy[:, 1:] - sxy[:, :-1]) / dx
+        )  # (W, nx)
+        ay = jnp.where(wall_vy, kb * ey_c, ay_int)
+        return ax, ay
+
+    for k in range(iters):
+        c1, c2 = coeffs[k]
+        ex, ey = bc_fix(ex, ey)
         if not (zero_init and k == 0):
-            # --- coupled momentum stencil over the whole window --------
-            # Window row w holds: vx/cell/vy/corner row (w - 4) relative to
-            # the block's first vx row.  sxy at corner row J (w = J+4) uses
-            # vx rows J-1 (w-1) and J (w) and vy row J (w); edge rows come
-            # out garbage and are sacrificial (deep-halo argument above).
-            sxy = es * (
-                (ex - jnp.concatenate([ex[:1], ex[:-1]], axis=0)) / dy
-                + (ey[:, 1:] - ey[:, :-1]) / dx
-            )  # (W, nx+1): row w = corner row J = w - 4 + r0v; row 0 garbage
-            sxx = 2.0 * en_c * (ex[:, 1:] - ex[:, :-1]) / dx  # (W, nx) cell row at w
-            ey_c = ey[:, 1 : nx + 1]
-            syy = 2.0 * en_c * (
-                jnp.concatenate([ey_c[1:], ey_c[-1:]], axis=0) - ey_c
-            ) / dy  # (W, nx): cell row j at w uses vy rows j (w), j+1 (w+1)
-
-            # ax at vx row j (w): -(sxx[j,i]-sxx[j,i-1])/dx - (sxy[J=j+1]-sxy[J=j])/dy
-            sxy_dn = jnp.concatenate([sxy[1:], sxy[-1:]], axis=0)  # corner J=j+1
-            ax_int = (
-                -(sxx[:, 1:] - sxx[:, :-1]) / dx
-                - (sxy_dn[:, 1:-1] - sxy[:, 1:-1]) / dy
-            )  # (W, nx-1)
-            ax = jnp.concatenate(
-                [kb * ex[:, :1], ax_int, kb * ex[:, -1:]], axis=1
-            )
-            # ay at vy row j (w): -(syy[j]-syy[j-1])/dy - (sxy[J=j,i+1]-sxy[J=j,i])/dx
-            syy_up = jnp.concatenate([syy[:1], syy[:-1]], axis=0)  # cell j-1
-            ay_int = (
-                -(syy - syy_up) / dy - (sxy[:, 1:] - sxy[:, :-1]) / dx
-            )  # (W, nx)
-            ay = jnp.where(wall_vy, kb * ey_c, ay_int)
-
+            ax, ay = apply_A(ex, ey)
             dxs = c1 * dxs + c2 * (rx - ax) / dvx
             dys = c1 * dys + c2 * (ry[:, 1 : nx + 1] - ay) / dvy
         else:
@@ -235,6 +250,14 @@ def _kernel(coeffs_ref, scal_ref, exg_h, eyg_h, rx_h, ry_h, es_h, en_h,
             [ey[:, :1], ey[:, 1 : nx + 1] + dys, ey[:, nx + 1 :]], axis=1
         )
 
+    if emit_residual:
+        # one more in-VMEM application on the final iterate (central rows
+        # still fresh: h >= iters + 1 asserted by the dispatcher)
+        ex, ey = bc_fix(ex, ey)
+        ax, ay = apply_A(ex, ey)
+        rfx_out[:, :] = (rx - ax)[top : top + br, :]
+        rfy_out[:, :] = (ry[:, 1 : nx + 1] - ay)[top : top + br, :]
+
     ex_out[:, :] = ex[top : top + br, :]
     ey_out[:, :] = ey[top : top + br, 1 : nx + 1]
 
@@ -244,14 +267,17 @@ def _pad_top_rows(a, top, rows, w128):
 
 
 def prep_smoother_eta(eta_s, eta_n, grid: StaggeredGrid, block_rows=64,
-                      h: int = H):
+                      h: int = H, n_out: int = 2):
     """Host-side padding of the viscosity streams — frozen for a whole
     solve, so multigrid levels hoist this out of the ~100s of sweeps.
-    ``h``: halo depth the sweeps will use (window = br + 2h + 2 rows)."""
+    ``h``: halo depth the sweeps will use (window = br + 2h + 2 rows);
+    ``n_out``: output-block count the VMEM budget must hold (4 with
+    emit_residual)."""
     ny, nx = grid.ny, grid.nx
     top = h + 1
     f32 = jnp.float32
-    br = min(_pick_block_rows(ny, nx, h) or block_rows, block_rows, ny)
+    br = min(_pick_block_rows(ny, nx, h, n_out=n_out) or block_rows,
+             block_rows, ny)
     assert ny % br == 0, (ny, br)
     # last window reads padded rows [ny - br, ny + 2h + 2); 8-align
     rows = ny + -(-(top + 2 * h + 2) // 8) * 8
@@ -285,8 +311,13 @@ def chebyshev_smooth_pallas(
     ex, ey, rx, ry, eta_s, eta_n, grid: StaggeredGrid, bcs: VelocityBCs,
     kbnd, lam_max, iters: int, zero_init: bool = False,
     block_rows: int = 64, interpret: bool = False, prepped=None,
+    emit_residual: bool = False,
 ):
-    """Fused `iters`-iteration Chebyshev sweep; returns (ex', ey').
+    """Fused `iters`-iteration Chebyshev sweep; returns (ex', ey'), or
+    (ex', ey', rfx, rfy) with ``emit_residual`` where (rfx, rfy) =
+    (rx - A ex', ry - A ey') — the V-cycle's restriction input computed by
+    one extra stencil application on the VMEM-resident window instead of a
+    separate momentum_apply HBM pass (requires halo depth h >= iters + 1).
 
     ``zero_init``: (ex, ey) are known-zero (the V-cycle's pre-smooth) —
     skips the first operator application entirely.
@@ -298,10 +329,12 @@ def chebyshev_smooth_pallas(
     ey = ey.astype(f32)
 
     if prepped is None:
-        prepped = prep_smoother_eta(eta_s, eta_n, grid, block_rows,
-                                    h=_pick_h(iters) or HS[-1])
+        prepped = prep_smoother_eta(
+            eta_s, eta_n, grid, block_rows,
+            h=_pick_h(iters + (1 if emit_residual else 0)) or HS[-1],
+        )
     es, en, br, rows, w128, h = prepped
-    assert 1 <= iters <= h, (iters, h)
+    assert 1 <= iters + (1 if emit_residual else 0) <= h, (iters, h)
     top = h + 1
     rxp = _pad_top_rows(rx.astype(f32), top, rows, w128)
     ryp = _pad_top_rows(jnp.pad(ry.astype(f32), ((0, 0), (1, 1))), top, rows,
@@ -321,36 +354,38 @@ def chebyshev_smooth_pallas(
     )
 
     nb = ny // br
+    vx_spec = pl.BlockSpec((br, nx + 1), lambda i, *_: (i, i * 0),
+                           memory_space=pltpu.VMEM)
+    vy_spec = pl.BlockSpec((br, nx), lambda i, *_: (i, i * 0),
+                           memory_space=pltpu.VMEM)
+    out_specs = [vx_spec, vy_spec] + ([vx_spec, vy_spec] if emit_residual else [])
+    out_shape = [
+        jax.ShapeDtypeStruct((nb * br, nx + 1), f32),
+        jax.ShapeDtypeStruct((nb * br, nx), f32),
+    ] * (2 if emit_residual else 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
-        out_specs=[
-            pl.BlockSpec((br, nx + 1), lambda i, *_: (i, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((br, nx), lambda i, *_: (i, i * 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, br + 2 * h + 2, w128), f32) for _ in range(6)
         ] + [pltpu.SemaphoreType.DMA((2, 6))],
     )
 
     kernel = functools.partial(
-        _kernel, br=br, grid=grid, iters=iters, zero_init=zero_init, h=h
+        _kernel, br=br, grid=grid, iters=iters, zero_init=zero_init, h=h,
+        emit_residual=emit_residual,
     )
 
-    ex_new, ey_main = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb * br, nx + 1), f32),
-            jax.ShapeDtypeStruct((nb * br, nx), f32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(coeffs, scal, exg, eyg, rxp, ryp, es, en)
-    ex_new = ex_new[:ny]
-    ey_main = ey_main[:ny]
+    ex_new = outs[0][:ny]
+    ey_main = outs[1][:ny]
 
     # vy wall row ny (Dirichlet): pointwise Chebyshev recurrence, one row
     kb = jnp.asarray(kbnd, f32)
@@ -366,11 +401,18 @@ def chebyshev_smooth_pallas(
             dy_last = c1 * dy_last + c2 * (ry_last - kb * ey_last) / kb
         ey_last = ey_last + dy_last
     ey_new = jnp.concatenate([ey_main, ey_last], axis=0)
-    return ex_new, ey_new
+    if not emit_residual:
+        return ex_new, ey_new
+    rfx = outs[2][:ny]
+    rfy_main = outs[3][:ny]
+    rfy_last = ry_last - kb * ey_last
+    rfy = jnp.concatenate([rfy_main, rfy_last], axis=0)
+    return ex_new, ey_new, rfx, rfy
 
 
 def smoother_eligible(grid: StaggeredGrid, dtype, iters: int,
-                      block_rows: int = 64) -> bool:
+                      block_rows: int = 64,
+                      emit_residual: bool = False) -> bool:
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
@@ -378,12 +420,14 @@ def smoother_eligible(grid: StaggeredGrid, dtype, iters: int,
     if not grid.uniform:
         return False
     ny, nx = grid.ny, grid.nx
-    h = _pick_h(iters)
+    depth = iters + (1 if emit_residual else 0)
+    h = _pick_h(depth)
     if h is None or iters < 1:
         return False
     return (
         dtype == jnp.float32
-        and _pick_block_rows(ny, nx, h) is not None
+        and _pick_block_rows(ny, nx, h, n_out=4 if emit_residual else 2)
+        is not None
         and nx >= 256
         and platform not in ("cpu", "gpu")
     )

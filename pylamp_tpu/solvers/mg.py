@@ -338,9 +338,10 @@ def coarsening_plan(
     return plan
 
 
-def _power_lambda_max(apply_Binv_A, shape_x, shape_y, dtype, iters: int = 12):
+def _power_lambda_max(apply_Binv_A, shape_x, shape_y, dtype, iters=12):
     """Estimate lambda_max of D^-1 A on the coupled velocity space with
-    power iteration (deterministic start vector; jittable)."""
+    power iteration (deterministic start vector; jittable).  ``iters`` may
+    be a traced scalar (the warm-start path runs fewer refresh iterations)."""
     # deterministic pseudo-random start: cheap LCG-ish pattern, no host RNG
     def seed(shape):
         n = shape[0] * shape[1]
@@ -365,6 +366,105 @@ def _power_lambda_max(apply_Binv_A, shape_x, shape_y, dtype, iters: int = 12):
     return lam
 
 
+def gershgorin_lambda(eta_s, eta_n, grid: StaggeredGrid, bcs: VelocityBCs,
+                      kbnd):
+    """Rigorous Chebyshev upper bound on lambda_max(D^-1 A) for the coupled
+    momentum operator on a UNIFORM grid, from Gershgorin row sums — NO
+    operator applications.
+
+    For the interior vx row the |off-diagonal| sum is the diagonal itself
+    (the vx-vx couplings) plus the vx-vy cross couplings through sxy,
+    2(eta_s[J+1] + eta_s[J])/(dx dy); so the row bound is
+    2 + cross/diag <= 3, and analogously for vy.  Dirichlet rows contribute
+    exactly 1.  BC ghost folding only merges coefficients (|a+b| <=
+    |a|+|b|), so the interior formula upper-bounds every wall row too.
+    Measured tightness: ~1.05x the power-iteration lambda on smooth
+    viscosity (2.67 vs 2.55 at uniform eta), <= 3 always."""
+    dvx, dvy = velocity_diagonals(eta_s, eta_n, grid, kbnd, bcs=bcs)
+    dx, dy = grid.dx, grid.dy
+    cross_vx = 2.0 * (eta_s[1:, 1:-1] + eta_s[:-1, 1:-1]) / (dx * dy)
+    bx = jnp.max(cross_vx / dvx[:, 1:-1])
+    cross_vy = 2.0 * (eta_s[1:-1, 1:] + eta_s[1:-1, :-1]) / (dx * dy)
+    by = jnp.max(cross_vy / dvy[1:-1, :])
+    return 2.0 + jnp.maximum(bx, by)
+
+
+def estimate_mg_lambdas(
+    eta_s,
+    eta_n,
+    grid: StaggeredGrid,
+    bcs: VelocityBCs,
+    kbnd,
+    levels: int = 0,
+    semicoarsen: float = 0.0,
+    hint=None,
+    fresh_iters: int = 12,
+    refresh_iters: int = 2,
+    mode: str = "power",
+):
+    """Per-level Chebyshev lambda_max bounds for the velocity MG hierarchy.
+
+    Returns a (nlev,) array (including the safety margin) suitable for both
+    ``make_velocity_mg(lam_max=...)`` and the next step's ``hint``.
+
+    ``mode="gershgorin"`` (uniform grids): the analytic row-sum bound
+    (``gershgorin_lambda``) — a few elementwise passes per level, no
+    operator applies at all; rigorous, so Chebyshev can never amplify.
+    Non-uniform levels fall back to power iteration.
+
+    ``mode="power"``: per-level power iteration.  ``hint`` (the previous
+    solve's estimates, e.g. ``ModelState.mg_lam``) switches levels with a
+    positive entry from ``fresh_iters`` iterations to ``refresh_iters``
+    and floors the result at 0.995x the hint — the viscosity field moves
+    at most half a cell per step (Courant bound), so lambda_max drifts
+    slowly; the floor keeps the Chebyshev interval safe through the short
+    refresh.  The measured cost is dominated by per-level dispatch (~21 ms
+    at 1024^2/9 levels on v5e even warm), which is why the production step
+    refreshes on a cadence (SolverConfig.mg_lam_refresh_every) instead of
+    every step."""
+    plan = coarsening_plan(grid, levels, semi_threshold=semicoarsen)
+    nlev = len(plan) + 1
+    dtype = eta_n.dtype
+
+    grids = [grid]
+    etas = [(eta_s, eta_n)]
+    for cx, cy in plan:
+        grids.append(grids[-1].coarsen(cx, cy))
+        etas.append(coarsen_eta(*etas[-1], cx=cx, cy=cy))
+    kbnds = [
+        kbnd * (grids[0].dx_min * grids[0].dy_min) / (g.dx_min * g.dy_min)
+        for g in grids
+    ]
+
+    lams = []
+    for l in range(nlev):
+        es, en = etas[l]
+
+        if mode == "gershgorin" and grids[l].uniform:
+            lams.append(gershgorin_lambda(es, en, grids[l], bcs, kbnds[l]))
+            continue
+
+        dvx, dvy = velocity_diagonals(es, en, grids[l], kbnds[l], bcs=bcs)
+
+        def binv_a(vx, vy, l=l, es=es, en=en, dvx=dvx, dvy=dvy):
+            ax, ay = _momentum_apply(vx, vy, es, en, grids[l], bcs, kbnds[l])
+            return ax / dvx, ay / dvy
+
+        if hint is None:
+            iters = fresh_iters
+        else:
+            h = hint[l].astype(dtype)
+            iters = jnp.where(h > 0, refresh_iters, fresh_iters)
+        lam = _power_lambda_max(
+            binv_a, grids[l].shape_vx, grids[l].shape_vy, dtype, iters=iters
+        )
+        lam = 1.1 * lam
+        if hint is not None:
+            lam = jnp.maximum(lam, 0.995 * hint[l].astype(dtype))
+        lams.append(lam)
+    return jnp.stack(lams)
+
+
 def make_velocity_mg(
     eta_s,
     eta_n,
@@ -385,8 +485,14 @@ def make_velocity_mg(
     coarse_replicate: int = 0,
     halo_mesh=None,
     semicoarsen: float = 0.0,
+    lam_max=None,
 ):
     """Returns mg(rx, ry) -> (zx, zy): `cycles` handled by the caller.
+
+    ``lam_max``: optional (nlev,) per-level Chebyshev lambda_max bounds
+    (from ``estimate_mg_lambdas``, typically warm-started across steps via
+    ``ModelState.mg_lam``); None computes them here with 12 power
+    iterations per level.
 
     ``pre_smooth``/``post_smooth`` are the Chebyshev polynomial degrees (or
     Jacobi sweep counts with smoother="jacobi").
@@ -512,8 +618,8 @@ def make_velocity_mg(
             for (es, en), g in zip(etas, grids)
         ]
 
-    lam_max = []
-    if smoother == "chebyshev":
+    if lam_max is None and smoother == "chebyshev":
+        lam_max = []
         for l in range(nlev):
             es, en = etas[l]
             dvx, dvy = diags[l]
@@ -529,46 +635,80 @@ def make_velocity_mg(
                 binv_a, grids[l].shape_vx, grids[l].shape_vy, dtype
             )
             lam_max.append(1.1 * lam)
+    elif lam_max is None:
+        lam_max = []
 
     # fused multi-iteration Pallas smoother (ops/pallas/cheb_kernel.py):
     # per-level eligibility + hoisted viscosity pads.  pallas_call has no
     # GSPMD rule, so the caller must pass use_pallas_smoother=False for
     # sharded/vmapped solves (make_mg_preconditioner gates on mesh).
+    # Levels whose halo depth allows iters+1 applications also EMIT the
+    # post-sweep residual from the kernel (emit_residual), saving the
+    # V-cycle's separate momentum_apply HBM pass per level per cycle.
     smoother_preps = [None] * nlev
+    smoother_emit = [False] * nlev
     if (use_pallas_smoother and smoother == "chebyshev" and halo_mesh is None
             and not bcs.periodic_x):
         from pylamp_tpu.ops.pallas.cheb_kernel import (
+            _pick_h,
             prep_smoother_eta,
             smoother_eligible,
         )
 
-        from pylamp_tpu.ops.pallas.cheb_kernel import _pick_h
-
         deg = max(pre_smooth, post_smooth)
-        smoother_preps = [
-            prep_smoother_eta(es, en, g, h=_pick_h(deg))
-            if smoother_eligible(g, dtype, deg)
-            else None
-            for (es, en), g in zip(etas, grids)
-        ]
+        for l, ((es, en), g) in enumerate(zip(etas, grids)):
+            if smoother_eligible(g, dtype, deg, emit_residual=True):
+                smoother_preps[l] = prep_smoother_eta(
+                    es, en, g, h=_pick_h(deg + 1), n_out=4
+                )
+                smoother_emit[l] = True
+            elif smoother_eligible(g, dtype, deg):
+                smoother_preps[l] = prep_smoother_eta(es, en, g, h=_pick_h(deg))
 
-    def smooth(l, ex, ey, rx, ry, iters, zero_init=False):
+    def smooth(l, ex, ey, rx, ry, iters, zero_init=False, emit_residual=False):
+        """Returns (ex, ey), or (ex, ey, rx - A ex, ry - A ey) with
+        ``emit_residual`` (fused into the Pallas kernel where the level
+        supports it; one extra momentum_apply otherwise)."""
         es, en = etas[l]
         dvx, dvy = diags[l]
         g = grids[l]
         kb = kbnds[l]
 
-        if smoother_preps[l] is not None and 1 <= iters <= smoother_preps[l][5]:
+        if smoother_preps[l] is not None and 1 <= iters <= (
+            smoother_preps[l][5] - (1 if emit_residual and smoother_emit[l] else 0)
+        ):
             from pylamp_tpu.ops.pallas.cheb_kernel import (
                 chebyshev_smooth_pallas,
             )
 
-            return chebyshev_smooth_pallas(
+            if emit_residual and smoother_emit[l]:
+                return chebyshev_smooth_pallas(
+                    ex, ey, rx, ry, es, en, g, bcs, kb, lam_max[l], iters,
+                    zero_init=zero_init, prepped=smoother_preps[l],
+                    emit_residual=True,
+                )
+            ex, ey = chebyshev_smooth_pallas(
                 ex, ey, rx, ry, es, en, g, bcs, kb, lam_max[l], iters,
                 zero_init=zero_init, prepped=smoother_preps[l],
             )
+            if emit_residual:
+                ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
+                                        use_pallas=use_pallas,
+                                        eta_prepped=preps[l],
+                                        halo_mesh=hmesh[l])
+                return ex, ey, rx - ax, ry - ay
+            return ex, ey
 
         import jax.lax as _lax
+
+        def _finish(ex, ey):
+            if not emit_residual:
+                return ex, ey
+            ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
+                                    use_pallas=use_pallas,
+                                    eta_prepped=preps[l],
+                                    halo_mesh=hmesh[l])
+            return ex, ey, rx - ax, ry - ay
 
         if line_coeffs is not None:
             # damped line Jacobi: x += omega * T^-1 (r - A x) with
@@ -593,7 +733,7 @@ def make_velocity_mg(
             def lbody(_, st):
                 return lsweep(*st)
 
-            return _lax.fori_loop(0, iters, lbody, (ex, ey))
+            return _finish(*_lax.fori_loop(0, iters, lbody, (ex, ey)))
 
         if smoother == "jacobi":
             def jbody(_, st):
@@ -604,7 +744,7 @@ def make_velocity_mg(
                                         halo_mesh=hmesh[l])
                 return ex + omega * (rx - ax) / dvx, ey + omega * (ry - ay) / dvy
 
-            return _lax.fori_loop(0, iters, jbody, (ex, ey))
+            return _finish(*_lax.fori_loop(0, iters, jbody, (ex, ey)))
 
         # Chebyshev semi-iteration on D^-1 A over [lmax/4, lmax]
         # (hypre/ML-style smoothing interval).  fori_loop keeps the traced
@@ -645,20 +785,22 @@ def make_velocity_mg(
         ex, ey, _, _, _ = _lax.fori_loop(
             0, iters - 1, cbody, (ex, ey, dx_, dy_, rho_old)
         )
-        return ex, ey
+        return _finish(ex, ey)
 
-    def vcycle(l, rx, ry):
+    def vcycle(l, rx, ry, emit=False):
+        """``emit``: also return (rx - A ex, ry - A ey) of the cycle's
+        result (for multi-cycle callers; rides the post-smooth's fused
+        residual where the level supports it)."""
         if l == nlev - 1:
             ex = jnp.zeros_like(rx)
             ey = jnp.zeros_like(ry)
-            return smooth(l, ex, ey, rx, ry, coarse_iters, zero_init=True)
+            return smooth(l, ex, ey, rx, ry, coarse_iters, zero_init=True,
+                          emit_residual=emit)
         ex = jnp.zeros_like(rx)
         ey = jnp.zeros_like(ry)
-        ex, ey = smooth(l, ex, ey, rx, ry, pre_smooth, zero_init=True)
-        ax, ay = momentum_apply(ex, ey, *etas[l], grids[l], bcs, kbnds[l],
-                                use_pallas=use_pallas, eta_prepped=preps[l],
-                                halo_mesh=hmesh[l])
-        rfx, rfy = rx - ax, ry - ay
+        # pre-smooth + the restriction-input residual in one kernel pass
+        ex, ey, rfx, rfy = smooth(l, ex, ey, rx, ry, pre_smooth,
+                                  zero_init=True, emit_residual=True)
         pcx, pcy = plan[l]
         if scaled_transfers:
             sfx, sfy = scales[l]
@@ -698,11 +840,10 @@ def make_velocity_mg(
         else:
             ex = ex + pex
             ey = ey + pey
-        ex, ey = smooth(l, ex, ey, rx, ry, post_smooth)
-        return ex, ey
+        return smooth(l, ex, ey, rx, ry, post_smooth, emit_residual=emit)
 
-    def mg(rx, ry):
-        return vcycle(0, rx, ry)
+    def mg(rx, ry, emit=False):
+        return vcycle(0, rx, ry, emit=emit)
 
     return mg
 
@@ -728,12 +869,16 @@ def make_mg_preconditioner(
     coarse_replicate: int = 0,
     halo_mesh=None,
     semicoarsen: float = 0.0,
+    lam_max=None,
     schur: str = "mass",
     schur_poisson_iters: int = 3,
     velocity_inner_iters: int = 0,
     velocity_inner_tol: float = 3e-2,
 ):
     """Block upper-triangular preconditioner for the full Stokes system.
+
+    ``lam_max``: optional warm-started per-level Chebyshev bounds (see
+    make_velocity_mg / estimate_mg_lambdas).
 
     ``schur``: the pressure Schur complement surrogate —
     - "mass": local inverse-viscosity mass scaling -(eta_n/kcont) r_c
@@ -763,7 +908,7 @@ def make_mg_preconditioner(
         use_pallas_smoother=use_pallas_smoother and mesh is None,
         scaled_transfers=scaled_transfers, ls_damp=ls_damp,
         mesh=mesh, coarse_replicate=coarse_replicate, halo_mesh=halo_mesh,
-        semicoarsen=semicoarsen,
+        semicoarsen=semicoarsen, lam_max=lam_max,
     )
     dtype = eta_n.dtype
 
@@ -808,13 +953,18 @@ def make_mg_preconditioner(
             return z
     else:
         def vel_solve(rvx, rvy):
-            # first cycle starts from zero: its residual IS (rvx, rvy)
-            zx, zy = mg(rvx, rvy)
-            for _ in range(cycles - 1):
-                ax, ay = momentum_apply(zx, zy, eta_s, eta_n, grid, bcs,
-                                        kbnd, use_pallas=use_pallas,
-                                        halo_mesh=halo_mesh)
-                dx_, dy_ = mg(rvx - ax, rvy - ay)
+            # first cycle starts from zero: its residual IS (rvx, rvy).
+            # Multi-cycle: each non-final cycle's post-smooth emits the
+            # running residual (fused in the Pallas smoother where
+            # supported) — no separate momentum_apply between cycles.
+            if cycles == 1:
+                return mg(rvx, rvy)
+            zx, zy, rfx, rfy = mg(rvx, rvy, emit=True)
+            for c in range(cycles - 1):
+                if c == cycles - 2:
+                    dx_, dy_ = mg(rfx, rfy)
+                else:
+                    dx_, dy_, rfx, rfy = mg(rfx, rfy, emit=True)
                 zx = zx + dx_
                 zy = zy + dy_
             return zx, zy

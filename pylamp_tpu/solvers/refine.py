@@ -23,11 +23,32 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from pylamp_tpu.solvers.krylov import SolveInfo, tnorm, tsub
+from pylamp_tpu.solvers.krylov import SolveInfo, tsub
 
 
 def _cast(tree, dtype):
     return jax.tree.map(lambda l: l.astype(dtype), tree)
+
+
+def _norm_f32(tree):
+    """||tree|| accumulated in f32 with overflow-safe pre-scaling.
+
+    The emulated-f64 reduction costs ~13 ms at 1024^2 on v5e (vs ~0.2 ms
+    in f32) and the norm only GATES the refinement loop — 1e-7-relative
+    accuracy is ample for comparing against tol*||b||.  Momentum entries
+    can reach ~1e15 (squares overflow f32), so each leaf is scaled by its
+    own max first; the per-leaf max is an f64 comparison reduction, far
+    cheaper than the emulated multiply-accumulate of a dot product."""
+    f32 = jnp.float32
+    leaves = jax.tree.leaves(tree)
+    sqs = []
+    for l in leaves:
+        amax = jnp.max(jnp.abs(l))
+        s = jnp.where(amax > 0, amax, 1.0)
+        ln = (l * (1.0 / s)).astype(f32)
+        sqs.append((jnp.vdot(ln, ln).astype(jnp.float64), s))
+    total = sum(sq * s * s for sq, s in sqs)
+    return jnp.sqrt(total)
 
 
 def refine(
@@ -53,12 +74,14 @@ def refine(
     orders below target (measured 1e-11 on a 1e-8 sticky-air solve: one
     whole wasted full-depth pass).  ``inner_tol`` is the tightest
     tolerance ever requested (the f32 floor)."""
-    bnorm = tnorm(b64)
+    bnorm = _norm_f32(b64)
     target = tol * bnorm
 
     # One f64 operator application per refinement (the emulated-f64 stencil
     # is the dominant cost at 1024^2): the residual computed at the top of
     # each iteration doubles as the convergence check for the previous one.
+    # Norms accumulate in f32 (_norm_f32): they only gate the loop, and the
+    # emulated-f64 dot product alone cost ~13 ms per refinement on v5e.
 
     def cond(st):
         _, _, res, k, _ = st
@@ -70,10 +93,10 @@ def refine(
         dx32, info = inner_solve32(_cast(r, jnp.float32), rel.astype(jnp.float32))
         x = jax.tree.map(lambda xl, dl: xl + dl.astype(jnp.float64), x, dx32)
         r = tsub(b64, op64(x))
-        return x, r, tnorm(r), k + 1, it + info.iterations
+        return x, r, _norm_f32(r), k + 1, it + info.iterations
 
     r0 = tsub(b64, op64(x0_64))
     x, _, res, k, it = lax.while_loop(
-        cond, body, (x0_64, r0, tnorm(r0), jnp.array(0), jnp.array(0))
+        cond, body, (x0_64, r0, _norm_f32(r0), jnp.array(0), jnp.array(0))
     )
     return x, SolveInfo(it, res, res <= target, bnorm)

@@ -77,3 +77,53 @@ def test_fused_smoother_matches_jnp(iters, zero_init, bc):
                                atol=2e-5 * sx)
     np.testing.assert_allclose(np.asarray(out_y), np.asarray(ref_y),
                                atol=2e-5 * sy)
+
+
+@pytest.mark.parametrize("iters,zero_init", [(2, True), (4, True), (4, False),
+                                             (6, False)])
+@pytest.mark.parametrize("bc", ["free_slip", "no_slip"])
+def test_fused_smoother_emit_residual(iters, zero_init, bc):
+    """emit_residual: the kernel's extra in-VMEM application must equal the
+    explicit momentum_apply residual of its own smoothing result (the
+    V-cycle restriction input)."""
+    grid = StaggeredGrid(nx=256, ny=16, lx=2.0, ly=1.0)
+    bcs = VelocityBCs(top=bc, bottom=bc, left=bc, right=bc)
+    rng = np.random.default_rng(3)
+    f32 = jnp.float32
+
+    eta_s = jnp.asarray(
+        np.exp(rng.standard_normal(grid.shape_corner) * 2.0), f32)
+    eta_n = jnp.asarray(
+        np.exp(rng.standard_normal(grid.shape_center) * 2.0), f32)
+    rx = jnp.asarray(rng.standard_normal(grid.shape_vx), f32)
+    ry = jnp.asarray(rng.standard_normal(grid.shape_vy), f32)
+    if zero_init:
+        ex = jnp.zeros(grid.shape_vx, f32)
+        ey = jnp.zeros(grid.shape_vy, f32)
+    else:
+        ex = jnp.asarray(rng.standard_normal(grid.shape_vx), f32)
+        ey = jnp.asarray(rng.standard_normal(grid.shape_vy), f32)
+    kbnd = 7.5
+    lam = 3.7
+
+    out_x, out_y, rfx, rfy = chebyshev_smooth_pallas(
+        ex, ey, rx, ry, eta_s, eta_n, grid, bcs, kbnd,
+        jnp.asarray(lam, f32), iters, zero_init=zero_init,
+        block_rows=8, interpret=True, emit_residual=True,
+    )
+    # the smoothed iterate itself must match the non-emit kernel bitwise
+    ref_x, ref_y = chebyshev_smooth_pallas(
+        ex, ey, rx, ry, eta_s, eta_n, grid, bcs, kbnd,
+        jnp.asarray(lam, f32), iters, zero_init=zero_init,
+        block_rows=8, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out_x), np.asarray(ref_x))
+    np.testing.assert_array_equal(np.asarray(out_y), np.asarray(ref_y))
+
+    ax, ay = momentum_apply(out_x, out_y, eta_s, eta_n, grid, bcs, kbnd)
+    exp_rfx = np.asarray(rx - ax)
+    exp_rfy = np.asarray(ry - ay)
+    sx = np.max(np.abs(exp_rfx))
+    sy = np.max(np.abs(exp_rfy))
+    np.testing.assert_allclose(np.asarray(rfx), exp_rfx, atol=2e-5 * sx)
+    np.testing.assert_allclose(np.asarray(rfy), exp_rfy, atol=2e-5 * sy)
