@@ -45,10 +45,19 @@ PAD_BOT = 15
 
 def _kernel(dt_h, xs_h, ys_h, vs_h, vxp_h, vyp_h, ox, oy,
             dt_v, xs, ys, vs, vxw, vyw, sems, *, br, K, ny, nx, dx, dy, reach,
-            vx_rows, vy_rows, lx, ly, periodic_x=False):
+            vx_rows, vy_rows, lx, ly, periodic_x=False, nxl=None,
+            with_bases=False):
+    """``nxl``: local lane count (nx for the single-device dispatch; the
+    block width bx for the per-shard dispatch inside the explicit-halo
+    shard_map engine).  ``with_bases``: the dt scratch additionally carries
+    the traced (row_base, col_base) of the block's first own cell at
+    [0, 1] / [0, 2] — per-shard mode, where the velocity windows are the
+    exchanged vx_ext/vy_ext blocks of parallel/halo_markers (their frames
+    coincide with the global padded layout shifted by the bases)."""
     f32 = jnp.float32
     i32 = jnp.int32
     r = reach
+    nxl = nx if nxl is None else nxl
     i = pl.program_id(0)
     row0 = i * jnp.int32(br)
 
@@ -82,11 +91,14 @@ def _kernel(dt_h, xs_h, ys_h, vs_h, vxp_h, vyp_h, ox, oy,
     # column-offset planes: marker at lane ci sampling array col ci + b
     # reads plane Vb at its own lane (host layout has a `r`-lane left pad)
     bs = list(range(-r, r + 2))
-    Vxb = {b: vxw[:, r + b : r + b + nx] for b in bs}
-    Vyb = {b: vyw[:, r + b : r + b + nx] for b in bs}
+    Vxb = {b: vxw[:, r + b : r + b + nxl] for b in bs}
+    Vyb = {b: vyw[:, r + b : r + b + nxl] for b in bs}
 
-    colf = lax.broadcasted_iota(i32, (br, nx), 1).astype(f32)
-    rowf = (row0 + lax.broadcasted_iota(i32, (br, nx), 0)).astype(f32)
+    colf = lax.broadcasted_iota(i32, (br, nxl), 1).astype(f32)
+    rowf = (row0 + lax.broadcasted_iota(i32, (br, nxl), 0)).astype(f32)
+    if with_bases:
+        rowf = rowf + dt_v[0, 1]
+        colf = colf + dt_v[0, 2]
 
     def _do_sample(Vb, rows_n, cols_n, fx, fy, vl):
         """Bilinear sample of a velocity lattice in its array coords: the
@@ -103,10 +115,10 @@ def _kernel(dt_h, xs_h, ys_h, vs_h, vxp_h, vyp_h, ox, oy,
         ty = jnp.clip(fy - j0, f32(0.0), f32(1.0))
         wx0, wx1 = f32(1.0) - tx, tx
         wy0, wy1 = f32(1.0) - ty, ty
-        out = jnp.zeros((br, nx), f32)
+        out = jnp.zeros((br, nxl), f32)
         for a in bs:
             ry = wy0 * (j0 == rowf + f32(a)) + wy1 * (j0 == rowf + f32(a - 1))
-            acc_b = jnp.zeros((br, nx), f32)
+            acc_b = jnp.zeros((br, nxl), f32)
             for b in bs:
                 cx = wx0 * (i0 == colf + f32(b)) + wx1 * (
                     i0 == colf + f32(b - 1)
@@ -181,6 +193,90 @@ def advect_slot_chunk(ny: int, nx: int, K: int, block_rows: int = 8):
 
 def advect_rk4_eligible(ny: int, nx: int, K: int, block_rows: int = 8) -> bool:
     return advect_slot_chunk(ny, nx, K, block_rows) is not None
+
+
+def advect_block_eligible(by: int, bx: int, K: int,
+                          block_rows: int = 8) -> bool:
+    """Per-shard eligibility for the halo-frame dispatch (lanes pad to
+    ceil(bx/128)*128)."""
+    W = -(-bx // 128) * 128
+    br = block_rows
+    return (by % br == 0 and by >= br
+            and _vmem_bytes(K, W, br) <= _VMEM_LIMIT)
+
+
+def advect_block_pallas(xb, yb, vb, vx_ext, vy_ext, dt, grid: StaggeredGrid,
+                        row_base, col_base, reach: int,
+                        block_rows: int = 8, interpret: bool = False):
+    """Per-shard fused RK4 on one device's marker block — the Pallas path
+    of parallel/halo_markers.advect_rk4_halo's shard_map body.
+
+    ``xb``/``yb``/``vb``: the block's own (by, bx, K) positions/valid;
+    ``vx_ext``/``vy_ext``: the exchanged velocity windows built by
+    advect_rk4_halo (frames: row q = vx_p/vy_p row row_base + q - reach,
+    col l = col col_base + l - reach — exactly the global kernel's padded
+    layout shifted by the bases).  Returns (x', y') of shape (by, bx, K)."""
+    by, bx, K = xb.shape
+    br = block_rows
+    r = reach
+    f32, i32 = jnp.float32, jnp.int32
+    W = -(-bx // 128) * 128
+    Wv = W + 128
+
+    def prep_m(arr, dtype):
+        t = jnp.transpose(arr.astype(dtype), (2, 0, 1))
+        return jnp.pad(t, ((0, 0), (PAD_TOP, PAD_BOT), (0, W - bx)))
+
+    xs = prep_m(xb, f32)
+    ys = prep_m(yb, f32)
+    vs = prep_m(vb, i32)
+
+    nb = by // br
+    hpad = nb * br + 8
+
+    def prep_v(ve):
+        rows, cols = ve.shape
+        return jnp.pad(ve.astype(f32), ((0, hpad - rows), (0, Wv - cols)))
+
+    vxp = prep_v(vx_ext)
+    vyp = prep_v(vy_ext)
+
+    in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    dt_arr = jnp.zeros((8, 128), f32)
+    dt_arr = dt_arr.at[0, 0].set(jnp.asarray(dt, f32))
+    dt_arr = dt_arr.at[0, 1].set(jnp.asarray(row_base, f32))
+    dt_arr = dt_arr.at[0, 2].set(jnp.asarray(col_base, f32))
+
+    out3 = pl.BlockSpec((K, br, W), lambda i: (i * 0, i, i * 0),
+                        memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((8, 128), f32),
+        pltpu.VMEM((K, br + 8, W), f32),
+        pltpu.VMEM((K, br + 8, W), f32),
+        pltpu.VMEM((K, br + 8, W), i32),
+        pltpu.VMEM((br + 8, Wv), f32),
+        pltpu.VMEM((br + 8, Wv), f32),
+        pltpu.SemaphoreType.DMA((6,)),
+    ]
+    kernel = functools.partial(
+        _kernel, br=br, K=K, ny=grid.ny, nx=grid.nx, dx=float(grid.dx),
+        dy=float(grid.dy), reach=r, vx_rows=grid.ny + 2, vy_rows=grid.ny + 1,
+        lx=float(grid.lx), ly=float(grid.ly), nxl=W, with_bases=True,
+    )
+    ox, oy = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[in_spec] * 6,
+        out_specs=[out3, out3],
+        out_shape=[jax.ShapeDtypeStruct((K, by, W), f32)] * 2,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(dt_arr, xs, ys, vs, vxp, vyp)
+
+    def unprep(t):
+        return jnp.transpose(t[:, :, :bx], (1, 2, 0)).astype(xb.dtype)
+
+    return unprep(ox), unprep(oy)
 
 
 def advect_rk4_pallas(bm, vx, vy, dt, grid: StaggeredGrid, bcs: VelocityBCs,

@@ -87,11 +87,30 @@ def _plan(phys_flags):
 
 def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, *refs,
             br, K, ny, nx, dx, dy, tbl, eta_mode, eta_min, eta_max,
-            phys_flags, n_out, periodic_x=False):
-    """Grid dim 0 = node-row blocks; node rows [i*br, i*br + br)."""
-    out_refs = refs[:n_out]
-    xs, ys, Ts, ms, vs, sems = refs[n_out:]
+            phys_flags, n_out, periodic_x=False, nlanes=None,
+            with_bases=False):
+    """Grid dim 0 = node-row blocks; node rows [i*br, i*br + br).
+
+    HALO FRAME (``with_bases``, the per-shard dispatch inside the
+    explicit-halo shard_map engine): the input is one device's cell block
+    extended by a one-deep exchanged marker ring — padded row 0 is the
+    halo row (playing PAD_TOP's role), lane 0 the halo column, lanes >
+    bx+1 zero (invalid).  A trailing bases scratch (DMA'd like the marker
+    windows) carries the traced (row_base, col_base) global indices of the
+    block's first OWN cell; ``ny``/``nx`` stay the GLOBAL grid shape
+    (center-kind clamps), ``nlanes`` the padded lane count."""
+    if with_bases:
+        # arg order is (inputs..., outputs..., scratch...): the bases array
+        # is the 6th INPUT, so it precedes the output refs
+        bases_h = refs[0]
+        out_refs = refs[1 : 1 + n_out]
+        xs, ys, Ts, ms, vs, bases_v, sems = refs[1 + n_out :]
+    else:
+        out_refs = refs[:n_out]
+        xs, ys, Ts, ms, vs, sems = refs[n_out:]
+        bases_h = bases_v = None
     with_energy, with_h, with_ra, with_vx = phys_flags
+    W = nlanes if nlanes is not None else nx
 
     i = pl.program_id(0)
     row0 = i * jnp.int32(br)  # == first node row; padded input row of cell
@@ -105,6 +124,9 @@ def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, *refs,
             [(xs_h, xs), (ys_h, ys), (Ts_h, Ts), (ms_h, ms), (vs_h, vs)]
         )
     ]
+    if with_bases:
+        copies.append(pltpu.make_async_copy(bases_h, bases_v,
+                                            sems.at[jnp.int32(5)]))
     for c in copies:
         c.start()
     for c in copies:
@@ -116,11 +138,16 @@ def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, *refs,
     inv_dy = f32(1.0 / dy)
 
     for o in out_refs:
-        o[...] = jnp.zeros((br, nx), f32)
+        o[...] = jnp.zeros((br, W), f32)
 
-    colf = lax.broadcasted_iota(i32, (br + 2, nx), 1).astype(f32)
+    colf = lax.broadcasted_iota(i32, (br + 2, W), 1).astype(f32)
     # global CELL row of each local slab row (local row l = cell row0-1+l)
-    rowf = (row0 - i32(1) + lax.broadcasted_iota(i32, (br + 2, nx), 0)).astype(f32)
+    rowf = (row0 - i32(1) + lax.broadcasted_iota(i32, (br + 2, W), 0)).astype(f32)
+    if with_bases:
+        # halo frame: lane l = global cell col (col_base - 1 + l); padded
+        # row p = global cell row (row_base + p - 1)
+        colf = colf + (bases_v[0, 1] - f32(1.0))
+        rowf = rowf + bases_v[0, 0]
 
     plan = _plan(phys_flags)
     sl = {0: (1, 0), 1: (0, 0), -1: (2, 0)}  # a -> slab row slice start
@@ -241,6 +268,114 @@ def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, *refs,
         return carry
 
     lax.fori_loop(jnp.int32(0), jnp.int32(K), sbody, jnp.int32(0))
+
+
+def m2g_fused_block_eligible(by: int, bx: int, K: int,
+                             block_rows: int = 8) -> bool:
+    """Per-shard eligibility for the halo-frame dispatch (padded lane
+    count ceil((bx+2)/128)*128; no slot chunking — the whole K must fit)."""
+    W = -(-(bx + 2) // 128) * 128
+    br = block_rows
+    vmem = 5 * K * (br + 8) * W * 4 + 30 * (br + 2) * W * 4
+    return by % br == 0 and by >= br and vmem <= 12 * 1024 * 1024
+
+
+def m2g_fused_block_pallas(xe, ye, Te, me, ve, grid: StaggeredGrid, table,
+                           phys, row_base, col_base,
+                           with_energy: bool = False, with_ra: bool = False,
+                           block_rows: int = 8, interpret: bool = False):
+    """Per-shard fused marker->grid transfer on a one-ring-EXTENDED marker
+    block — the Pallas path of parallel/halo_markers.m2g_fused_halo's
+    shard_map body.
+
+    ``xe``..``ve``: (by+2, bx+2, K) extended streams (``ve`` int32; the
+    exchanged halo ring supplies the neighbor markers, so every node value
+    this shard computes — including the shared seam rows/cols — is
+    COMPLETE; no halo-fold needed).  Returns a dict of raw weighted-sum
+    planes combined to the extended lane frame: ``out[name]`` has shape
+    (by + 1, W) with lane l = global node col (col_base - 1 + l); the
+    caller slices own cols (lanes 1..bx) + the +1 seam strips."""
+    bye, bxe, K = xe.shape
+    by, bx = bye - 2, bxe - 2
+    br = block_rows
+    W = -(-(bx + 2) // 128) * 128
+    f32, i32 = jnp.float32, jnp.int32
+
+    with_vx = phys.gx != 0.0
+    with_h = bool(np.any(np.asarray(table.H) != 0.0))
+    flags = (with_energy, with_h and with_energy, with_ra, with_vx)
+    plan = _plan(flags)
+    n_out = sum(p[2] for p in plan)
+
+    def prep(arr, dtype):
+        # halo row 0 plays PAD_TOP's role; pad rows to by+16 for the last
+        # block's fixed 16-row DMA, lanes to W with invalid markers
+        t = jnp.transpose(arr.astype(dtype), (2, 0, 1))
+        return jnp.pad(t, ((0, 0), (0, 14), (0, W - bxe)))
+
+    xs = prep(xe, f32)
+    ys = prep(ye, f32)
+    Ts = prep(Te, f32)
+    ms = prep(me, i32)
+    vs = prep(ve, i32)
+    bases = jnp.zeros((8, 128), f32)
+    bases = bases.at[0, 0].set(jnp.asarray(row_base, f32))
+    bases = bases.at[0, 1].set(jnp.asarray(col_base, f32))
+
+    nbn = by // br + 1  # node rows 0..by inclusive
+    tbl = {f: np.asarray(getattr(table, f))
+           for f in ("rho0", "alpha", "T_ref", "eta0", "fk_gamma", "E_act",
+                     "k", "cp", "H", "law")}
+
+    in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    out2 = pl.BlockSpec((br, W), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _kernel, br=br, K=K, ny=grid.ny, nx=grid.nx, dx=float(grid.dx),
+        dy=float(grid.dy), tbl=tbl, eta_mode=phys.eta_avg,
+        eta_min=float(phys.eta_min), eta_max=float(phys.eta_max),
+        phys_flags=flags, n_out=n_out, nlanes=W, with_bases=True,
+    )
+    scratch = [
+        pltpu.VMEM((K, br + PAD_TOP + 7, W), f32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, W), f32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, W), f32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, W), i32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, W), i32),
+        pltpu.VMEM((8, 128), f32),
+        pltpu.SemaphoreType.DMA((6,)),
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nbn,),
+        in_specs=[in_spec] * 6,
+        out_specs=[out2] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((nbn * br, W), f32)] * n_out,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(xs, ys, Ts, ms, vs, bases)
+
+    # combine b-offset planes in the extended lane frame: F[l] = sum_b
+    # P_b[l - b] (the plane stores each contribution at the marker's own
+    # cell lane; node lane = cell lane + b)
+    def shiftr(P, b):
+        if b == 0:
+            return P
+        if b > 0:
+            return jnp.pad(P[:, :-b], ((0, 0), (b, 0)))
+        return jnp.pad(P[:, -b:], ((0, 0), (0, -b)))
+
+    boff = {2: (0, 1), 3: (-1, 0, 1)}
+    result = {}
+    oidx = 0
+    for name, lat, nb_off in plan:
+        planes = outs[oidx : oidx + nb_off]
+        F = jnp.zeros((by + 1, W), f32)
+        for b, P in zip(boff[nb_off], planes):
+            F = F + shiftr(P[: by + 1, :], b)
+        result[name] = F
+        oidx += nb_off
+    return result, plan
 
 
 def m2g_slot_chunk(ny: int, nx: int, K: int, block_rows: int = 8):

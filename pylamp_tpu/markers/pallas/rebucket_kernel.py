@@ -41,14 +41,29 @@ PAD_BOT = 15  # ... and enough below that every 16-row aligned window fits:
 
 def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, ox, oy, oT, om, ov, oc,
             xs, ys, Ts, ms, vs, sems, *, br, K, ny, nx, dx, dy,
-            periodic_x=False):
+            periodic_x=False, bases_h=None, bases_v=None, nlanes=None):
     """Grid dim 0 = row blocks.  Inputs stay in HBM (overlapping halo
     windows are not expressible as BlockSpec blocks) and are DMA'd per
     block into the (K, br+2*PAD, nx) scratch buffers; outputs are written
     through non-overlapping (K, br, nx) VMEM blocks plus the (br, nx)
-    arrivals count."""
+    arrivals count.
+
+    HALO FRAME (``bases_h`` set — the per-shard dispatch inside the
+    explicit-halo shard_map engine, parallel/halo_markers.py): the input
+    covers one device's cell block EXTENDED by a one-deep exchanged marker
+    ring — padded row 0 is the halo row (playing PAD_TOP's role), lane 0
+    the halo column, lanes > bx+1 zero (invalid).  ``bases_h`` carries the
+    traced (row_base, col_base) = global indices of the block's first OWN
+    cell; ``ny``/``nx`` stay the GLOBAL grid shape (target-cell clips),
+    ``nlanes`` the padded lane count.  shift_x drops its domain-edge masks:
+    halo lanes / zero pads supply physically-correct or invalid candidates,
+    and the take mask (target cell == own global cell) filters the rest.
+    Output lanes outside [1, bx] are garbage the wrapper crops."""
     i = pl.program_id(0)
     r0 = i * br  # first global row of this block
+
+    halo = bases_h is not None
+    W = nlanes if halo else nx
 
     row0 = i * jnp.int32(br)
     # i32 semaphore indices: bare python ints are i64 under x64, which
@@ -62,6 +77,9 @@ def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, ox, oy, oT, om, ov, oc,
             [(xs_h, xs), (ys_h, ys), (Ts_h, Ts), (ms_h, ms), (vs_h, vs)]
         )
     ]
+    if halo:
+        copies.append(pltpu.make_async_copy(bases_h, bases_v,
+                                            sems.at[jnp.int32(5)]))
     for c in copies:
         c.start()
     for c in copies:
@@ -75,15 +93,23 @@ def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, ox, oy, oT, om, ov, oc,
     dxf = f32(dx)
     dyf = f32(dy)
 
-    col = lax.broadcasted_iota(i32, (br, nx), 1)
-    row = r0 + lax.broadcasted_iota(i32, (br, nx), 0)
+    if halo:
+        # lane l holds global cell col (col_base - 1 + l); output row j of
+        # block i is global cell row (row_base + i*br + j)
+        row_base = bases_v[0, 0]
+        col_base = bases_v[0, 1]
+        col = (col_base - i32(1)) + lax.broadcasted_iota(i32, (br, W), 1)
+        row = (row_base + r0) + lax.broadcasted_iota(i32, (br, W), 0)
+    else:
+        col = lax.broadcasted_iota(i32, (br, W), 1)
+        row = r0 + lax.broadcasted_iota(i32, (br, W), 0)
 
-    count = jnp.zeros((br, nx), i32)
-    ox[...] = jnp.zeros((K, br, nx), f32)
-    oy[...] = jnp.zeros((K, br, nx), f32)
-    oT[...] = jnp.zeros((K, br, nx), f32)
-    om[...] = jnp.zeros((K, br, nx), i32)
-    ov[...] = jnp.zeros((K, br, nx), i32)
+    count = jnp.zeros((br, W), i32)
+    ox[...] = jnp.zeros((K, br, W), f32)
+    oy[...] = jnp.zeros((K, br, W), f32)
+    oT[...] = jnp.zeros((K, br, W), f32)
+    om[...] = jnp.zeros((K, br, W), i32)
+    ov[...] = jnp.zeros((K, br, W), i32)
 
     def shift_x(p, b):
         # lane-rotate + edge mask (Mosaic supports tpu.rotate; lane
@@ -93,6 +119,11 @@ def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, ox, oy, oT, om, ov, oc,
         if b == 0:
             return p
         r = jnp.roll(p, -b, axis=1)
+        if halo:
+            # halo lanes / zero pads already encode the edges; wrapped-in
+            # lanes land in the pad region or carry invalid markers and the
+            # take mask filters them
+            return r
         if periodic_x:
             return r
         if b > 0:  # source col i+b: wrapped tail lanes are out of range
@@ -141,6 +172,117 @@ def _kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, ox, oy, oT, om, ov, oc,
             count = lax.fori_loop(i32(0), i32(K), sbody, count)
 
     oc[...] = count
+
+
+def rebucket_block_eligible(by: int, bx: int, K: int,
+                            block_rows: int = 8) -> bool:
+    """Per-shard eligibility for the halo-frame dispatch: the padded lane
+    count is ceil((bx+2)/128)*128 and rows must split into blocks."""
+    W = -(-(bx + 2) // 128) * 128
+    br = block_rows
+    vmem = 5 * K * (br + 8) * W * 4 + 5 * K * br * W * 4
+    return by % br == 0 and by >= br and vmem <= 12 * 1024 * 1024
+
+
+def rebucket_block_pallas(xe, ye, Te, me, ve, grid: StaggeredGrid,
+                          row_base, col_base, block_rows: int = 8,
+                          interpret: bool = False, vma=None):
+    """Per-shard rebucket on a one-ring-EXTENDED marker block — the Pallas
+    path of parallel/halo_markers.rebucket_halo's shard_map body.
+
+    ``xe``..``ve``: (by+2, bx+2, K) extended arrays (rows/cols -1..by/bx of
+    the block frame; ``ve`` int32, ppermute edge fill = 0 = invalid).
+    ``row_base``/``col_base``: traced global indices of the block's first
+    OWN cell.  Returns (x, y, T, mat, valid(int32), count) of shape
+    (by, bx, K) / (by, bx), bit-identical to the XLA one-hot repack (same
+    candidate order)."""
+    bye, bxe, K = xe.shape
+    by, bx = bye - 2, bxe - 2
+    br = block_rows
+    W = -(-(bx + 2) // 128) * 128
+    f32, i32 = jnp.float32, jnp.int32
+
+    def prep(arr, dtype):
+        # (by+2, bx+2, K) -> slot-major (K, by+16, W): the halo row plays
+        # PAD_TOP's role; zero row/lane pads are invalid markers
+        t = jnp.transpose(arr.astype(dtype), (2, 0, 1))
+        return jnp.pad(t, ((0, 0), (0, 14), (0, W - bxe)))
+
+    xs = prep(xe, f32)
+    ys = prep(ye, f32)
+    Ts = prep(Te, f32)
+    ms = prep(me, i32)
+    vs = prep(ve, i32)
+    bases = jnp.broadcast_to(
+        jnp.stack([jnp.asarray(row_base, i32), jnp.asarray(col_base, i32)]),
+        (8, 2),
+    )
+    bases = jnp.pad(bases, ((0, 0), (0, 126)))  # (8, 128) tile
+
+    nb = by // br
+    in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    out3 = pl.BlockSpec((K, br, W), lambda i: (i * 0, i, i * 0),
+                        memory_space=pltpu.VMEM)
+    out2 = pl.BlockSpec((br, W), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
+
+    import functools
+
+    kernel = functools.partial(
+        _kernel, br=br, K=K, ny=grid.ny, nx=grid.nx, dx=float(grid.dx),
+        dy=float(grid.dy), nlanes=W,
+    )
+
+    def body(bases_h, xs_h, ys_h, Ts_h, ms_h, vs_h, ox, oy, oT, om, ov, oc,
+             xs_v, ys_v, Ts_v, ms_v, vs_v, bases_v, sems):
+        kernel(xs_h, ys_h, Ts_h, ms_h, vs_h, ox, oy, oT, om, ov, oc,
+               xs_v, ys_v, Ts_v, ms_v, vs_v, sems,
+               bases_h=bases_h, bases_v=bases_v)
+
+    scratch = [
+        pltpu.VMEM((K, br + PAD_TOP + 7, W), f32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, W), f32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, W), f32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, W), i32),
+        pltpu.VMEM((K, br + PAD_TOP + 7, W), i32),
+        pltpu.VMEM((8, 128), i32),
+        pltpu.SemaphoreType.DMA((6,)),
+    ]
+    # inside shard_map the outputs must declare their mesh-axis variance
+    _vma = frozenset(vma) if vma else None
+
+    def _sds(shape, dtype):
+        if _vma is None:
+            return jax.ShapeDtypeStruct(shape, dtype)
+        return jax.ShapeDtypeStruct(shape, dtype, vma=_vma)
+
+    ox, oy, oT, om, ov, oc = pl.pallas_call(
+        body,
+        grid=(nb,),
+        in_specs=[in_spec] * 6,
+        out_specs=[out3, out3, out3, out3, out3, out2],
+        out_shape=[
+            _sds((K, by, W), f32),
+            _sds((K, by, W), f32),
+            _sds((K, by, W), f32),
+            _sds((K, by, W), i32),
+            _sds((K, by, W), i32),
+            _sds((by, W), i32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(bases, xs, ys, Ts, ms, vs)
+
+    def unprep(t, dtype):
+        return jnp.transpose(t[:, :, 1 : bx + 1], (1, 2, 0)).astype(dtype)
+
+    return (
+        unprep(ox, xe.dtype),
+        unprep(oy, ye.dtype),
+        unprep(oT, Te.dtype),
+        unprep(om, me.dtype),
+        unprep(ov, i32),
+        oc[:, 1 : bx + 1],
+    )
 
 
 def rebucket_eligible(ny: int, nx: int, K: int, block_rows: int = 8) -> bool:

@@ -135,6 +135,10 @@ class SolverConfig:
     # stencil lowers to many small kernels (measured 1.45 ms/apply at
     # 1024^2 on v5e, ~30x the HBM bound).  Same eligibility gating.
     use_pallas_apply: bool = True
+    # Force interpret-mode Pallas in the explicit-halo marker dispatches
+    # (testing/dryrun only: lets the CPU virtual-device mesh exercise the
+    # pallas-in-shard_map production path; real TPU runs leave this False).
+    pallas_interpret: bool = False
     energy_tol: float = 1e-10
     energy_maxiter: int = 2000
     # "jacobi" is optimal while rho*Cp/dt dominates (transient steps);

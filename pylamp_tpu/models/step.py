@@ -224,13 +224,40 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             )
 
             _ny, _nx, _K = m.x.shape
+            with_ra = phys.adiabatic_heating and phys.solve_energy
             if (solver.use_pallas_m2g
                     and mesh is None
                     and not batched
                     and grid.uniform  # kernel index math assumes uniform cells
                     and dtype == jnp.float32
                     and m2g_fused_eligible(_ny, _nx, _K)):
-                return _interp_fused(m, rho_m, k_m, rhocp_m, H_m, state)
+                out = m2g_fused_pallas(
+                    m, grid, table, phys, with_energy=phys.solve_energy,
+                    with_ra=with_ra, periodic_x=periodic,
+                )
+                return _interp_fused(m, rho_m, k_m, rhocp_m, H_m, state, out)
+            if (solver.use_pallas_m2g
+                    and marker_halo_mesh is not None
+                    and not batched
+                    and dtype == jnp.float32):
+                # pallas-in-shard_map: the per-shard fused kernel inside
+                # the explicit-halo engine (parallel/halo_markers.py)
+                from pylamp_tpu.parallel.halo_markers import (
+                    m2g_fused_halo,
+                    m2g_fused_halo_eligible,
+                )
+
+                if m2g_fused_halo_eligible(
+                    m, grid, marker_halo_mesh,
+                    interpret=solver.pallas_interpret,
+                ):
+                    out = m2g_fused_halo(
+                        m, grid, table, phys, marker_halo_mesh,
+                        with_energy=phys.solve_energy, with_ra=with_ra,
+                        interpret=solver.pallas_interpret,
+                    )
+                    return _interp_fused(m, rho_m, k_m, rhocp_m, H_m,
+                                         state, out)
 
         eta_m = jnp.clip(table.viscosity_of(m.mat, m.T), phys.eta_min, phys.eta_max)
         eta_s = _disp_interp_fb(m, eta_m, "corner", phys.eta_avg, state.eta_s)
@@ -246,17 +273,15 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             rho_vx = jnp.zeros(grid.shape_vx, dtype)
         return InterpOut(eta_s, eta_n, rho_vx, rho_vy, k_m, rhocp_m, H_m)
 
-    def _interp_fused(m, rho_m, k_m, rhocp_m, H_m, state) -> InterpOut:
+    def _interp_fused(m, rho_m, k_m, rhocp_m, H_m, state, out) -> InterpOut:
         """All marker->grid streams in one Pallas pass (16x vs the XLA
         transfers, measured at 1024^2xK18 on v5e) — including the energy
-        phase's corner-lattice fields so the marker state is read once."""
-        from pylamp_tpu.markers.pallas.m2g_kernel import m2g_fused_pallas
-
+        phase's corner-lattice fields so the marker state is read once.
+        ``out``: the raw weighted-sum dict from m2g_fused_pallas
+        (single-chip) or parallel/halo_markers.m2g_fused_halo (per-shard
+        Pallas inside the explicit-halo engine)."""
         dtype = m.x.dtype
         with_ra = phys.adiabatic_heating and phys.solve_energy
-        out = m2g_fused_pallas(m, grid, table, phys,
-                               with_energy=phys.solve_energy, with_ra=with_ra,
-                               periodic_x=periodic)
 
         def mean_of(wv, w, fallback):
             return jnp.where(w > 0, wv / jnp.where(w == 0, 1.0, w), fallback)
@@ -531,9 +556,13 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 markers = advect_rk4_halo(
                     markers, vx, vy, dt, grid, vbc, marker_halo_mesh,
                     stage_reach=reach,
+                    use_pallas=solver.use_pallas_advect,
+                    interpret=solver.pallas_interpret,
                 )
-                markers, dropped = rebucket_halo(markers, grid,
-                                                 marker_halo_mesh)
+                markers, dropped = rebucket_halo(
+                    markers, grid, marker_halo_mesh,
+                    interpret=solver.pallas_interpret,
+                )
             elif (solver.use_pallas_advect
                     and mesh is None
                     and not batched

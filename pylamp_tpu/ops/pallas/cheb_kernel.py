@@ -65,15 +65,27 @@ def _pick_block_rows(ny: int, nx: int, h: int, n_out: int = 2):
     Model: 12 double-buffered stream windows + ``n_out`` double-buffered
     output blocks (2, or 4 with emit_residual), x1.56 for Mosaic
     temporaries (calibrated: 2048^2 h=7 br=64 models 10.6 MB and measures
-    16.52 MB scoped)."""
+    16.52 MB scoped).  The emit variant's final in-VMEM application keeps
+    ~10 more window-sized planes live (stress tensors, ax/ay, residuals) —
+    measured 21.3 MB at 2048^2 br=32 where the plain model said 11.3, so
+    those planes enter the model explicitly."""
     w128 = -(-(nx + 2) // 128) * 128
+    streams = 12 if n_out == 2 else 22
+    # the emit variant raises the Mosaic scoped-vmem limit (the default
+    # 16 MB guardrail, not a hardware bound — v5e has 128 MB VMEM) so big
+    # grids keep the large block height; see chebyshev_smooth_pallas
+    budget = 15.5 if n_out == 2 else 45.0
+    mult = 1.56 if n_out == 2 else 1.6
     for br in (64, 32, 16, 8):
         if ny % br:
             continue
-        vmem = (12 * (br + 2 * h + 2) + 2 * n_out * br) * w128 * 4
-        if vmem * 1.56 <= 15.5 * 1024 * 1024:
+        vmem = (streams * (br + 2 * h + 2) + 2 * n_out * br) * w128 * 4
+        if vmem * mult <= budget * 1024 * 1024:
             return br
     return None
+
+
+_EMIT_VMEM_LIMIT = 48 * 1024 * 1024  # scoped-stack limit for emit_residual
 
 
 def _kernel(coeffs_ref, scal_ref, exg_h, eyg_h, rx_h, ry_h, es_h, en_h,
@@ -378,11 +390,24 @@ def chebyshev_smooth_pallas(
         emit_residual=emit_residual,
     )
 
+    compiler_params = None
+    # Large-grid blocks exceed the default 16 MB scoped guardrail
+    # (measured: 16.52 MB plain / ~21+ MB with emit_residual's extra
+    # in-VMEM application at 2048^2, while every 1024^2 variant fits the
+    # default); raise the limit rather than shrink the blocks — v5e has
+    # 128 MB VMEM.  Conditional on nx: an unconditional raise was
+    # implicated in tpu_compile_helper crashes on full-step graphs that
+    # don't need it (1024^2).
+    if not interpret and nx >= 2048:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=_EMIT_VMEM_LIMIT
+        )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=compiler_params,
     )(coeffs, scal, exg, eyg, rxp, ryp, es, en)
     ex_new = outs[0][:ny]
     ey_main = outs[1][:ny]

@@ -243,6 +243,13 @@ def momentum_apply_pallas(
             jax.ShapeDtypeStruct((ny, nx), f32),
         ],
         interpret=interpret,
+        # the fixed 128-row blocks overflow the default 16 MB scoped
+        # guardrail at nx >= 2048 (measured: saddle variant wants 21.3 MB
+        # stack + 23.6 MB scratch); raise only where needed — an
+        # unconditional raise was implicated in compile-helper crashes
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ) if (nx >= 2048 and not interpret) else None,
     )(kbnd_s, vxg, vyg2, esp, enp)
     # bottom-wall Dirichlet row (vy row ny)
     ry = jnp.concatenate([ry_main, kbnd_s[0] * vy[-1:, :]], axis=0)
@@ -439,6 +446,12 @@ def saddle_apply_pallas(
             jax.ShapeDtypeStruct((ny, nx), f32),
         ],
         interpret=interpret,
+        # see momentum_apply_pallas: 21.3 MB Mosaic stack at nx = 2048
+        # with the fixed 128-row blocks; raise the 16 MB guardrail only
+        # where needed
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ) if (nx >= 2048 and not interpret) else None,
     )(scal, vxg, vyg2, esp, enp, pp)
     ry = jnp.concatenate([ry_main, scal[0] * vy[-1:, :]], axis=0)
     return rx, ry, rc

@@ -6,7 +6,14 @@ the air/rock marker interface.  The analytic expectation for this setup
 order 10-20 kyr; we fit tau from the amplitude history and check the decay
 is smooth and monotonic (no 'drunken sailor' oscillations — the sticky-air
 dt limiter must keep the free surface stable).
+
+Defaults to the SPEC resolution (1024x256).  Emits ONE machine-readable
+JSON summary line and writes validation/sticky_air_<nx>x<ny>.json +
+_amp.jsonl + .png artifacts (round-4: VALIDATION.md rows are backed by
+committed records).
 """
+import json
+import os
 import sys
 import time
 
@@ -53,7 +60,7 @@ def surface_amplitude(state, grid):
     return 0.5 * (dev.max() - dev.min()), iface
 
 
-def main(nx=512, ny=128, n_steps=80):
+def main(nx=1024, ny=256, n_steps=80, out_dir="validation"):
     # The preset carries the tuned sharp-contrast solver (deep Chebyshev
     # smoothing + loose 10-iteration inner velocity FGMRES); see the
     # tuning matrix recorded in models/benchmarks.py.
@@ -61,16 +68,29 @@ def main(nx=512, ny=128, n_steps=80):
     grid, table, state = build(cfg, dtype=jnp.float32)
     step = jax.jit(make_step(grid, cfg, table))
 
+    os.makedirs(out_dir, exist_ok=True)
+    tag = f"sticky_air_{nx}x{ny}"
+    series = open(os.path.join(out_dir, f"{tag}_amp.jsonl"), "w")
+
     t0 = time.time()
     amp0, _ = surface_amplitude(state, grid)
     print(f"t=0: amplitude={amp0/1e3:.3f} km", flush=True)
     hist = [(0.0, amp0)]
+    all_converged = True
+    iters = []
     for n in range(1, n_steps + 1):
         state, diag = step(state)
+        iters.append(int(diag["stokes_iterations"]))
+        all_converged &= bool(diag["stokes_converged"])
         if n % 5 == 0 or n == n_steps:
             amp, _ = surface_amplitude(state, grid)
             t_kyr = float(state.time) / KYR
             hist.append((t_kyr, amp))
+            series.write(json.dumps({
+                "step": n, "t_kyr": t_kyr, "amp_m": float(amp),
+                "iters": int(diag["stokes_iterations"]),
+                "converged": bool(diag["stokes_converged"]),
+            }) + "\n")
             print(
                 f"step {n} t={t_kyr:.2f} kyr amp={amp/1e3:.3f} km "
                 f"iters={int(diag['stokes_iterations'])} "
@@ -78,6 +98,7 @@ def main(nx=512, ny=128, n_steps=80):
                 f"dt={float(diag['dt'])/KYR:.3f} kyr wall={time.time()-t0:.0f}s",
                 flush=True,
             )
+    series.close()
 
     ts = np.array([h[0] for h in hist])
     amps = np.array([h[1] for h in hist])
@@ -88,16 +109,51 @@ def main(nx=512, ny=128, n_steps=80):
     else:
         tau = float("nan")
     mono = bool(np.all(np.diff(amps) < 0.05 * amps[0]))
+    wall = time.time() - t0
+    summary = {
+        "benchmark": "crameri_2012_style_sticky_air",
+        "nx": nx, "ny": ny, "steps": n_steps,
+        "amp0_km": float(amps[0] / 1e3),
+        "amp_final_km": float(amps[-1] / 1e3),
+        "tau_kyr": float(tau),
+        "tau_expected_band_kyr": [10.0, 20.0],
+        "monotonic_decay": mono,
+        "all_converged": all_converged,
+        "iters_min": int(min(iters)), "iters_max": int(max(iters)),
+        "iters_mean": round(float(np.mean(iters)), 1),
+        "seconds_per_step": round(wall / n_steps, 3),
+        "device": str(jax.devices()[0]),
+    }
+    with open(os.path.join(out_dir, f"{tag}.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps(summary), flush=True)
     print(
         f"FINAL {nx}x{ny}: amplitude {amps[0]/1e3:.2f} -> {amps[-1]/1e3:.3f} km, "
         f"fitted tau = {tau:.1f} kyr (Crameri-type setups: O(10-20) kyr), "
-        f"monotonic-decay={mono}, wall={time.time()-t0:.0f}s",
+        f"monotonic-decay={mono}, wall={wall:.0f}s",
         flush=True,
     )
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.semilogy(ts, amps / 1e3, "o-", lw=1.2, ms=3,
+                    label=f"pylamp_tpu {nx}x{ny}")
+        ax.semilogy(ts, amps[0] / 1e3 * np.exp(-ts / tau), "--",
+                    label=f"exp fit tau={tau:.1f} kyr")
+        ax.set_xlabel("t [kyr]")
+        ax.set_ylabel("topography amplitude [km]")
+        ax.legend()
+        ax.set_title("Sticky-air free-surface relaxation — BASELINE config 5")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, f"{tag}.png"), dpi=110)
+    except Exception as e:
+        print(f"figure skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    nx = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    ny = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    nx = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    ny = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     ns = int(sys.argv[3]) if len(sys.argv) > 3 else 80
     main(nx, ny, ns)
