@@ -44,8 +44,9 @@ def main(argv=None):
                            "per chunk instead of per step)")
     runp.add_argument("--resume", type=str, default=None)
     runp.add_argument("--f32", action="store_true",
-                      help="f32 state (mixed-precision solves if x64 is on)")
-    runp.add_argument("--x64", action="store_true", help="enable float64")
+                      help="f32 state + mixed-precision solves (the default)")
+    runp.add_argument("--x64", action="store_true",
+                      help="full float64 state and solves")
     runp.add_argument("--stretch-x", type=float, default=0.0, metavar="R",
                       help="geometric grid stretching in x: last/first cell "
                            "width ratio R (> 1 refines toward x=0)")
@@ -110,9 +111,17 @@ def main(argv=None):
 
     import jax
 
-    if args.x64 or args.f32:
-        jax.config.update("jax_enable_x64", True)
+    # x64 is ALWAYS enabled: the default mixed-precision path (f32 state)
+    # needs f64 for the iterative-refinement outer loop.  Without it the
+    # "f64" refinement silently truncates to f32 and the solve floors at
+    # ~6e-7 relative instead of the 1e-8 tolerance (caught on v5e: every
+    # step reported "did not reach tolerance" while the math quietly ran
+    # pure f32).  --x64 selects a full-f64 STATE; --f32 (the default) a
+    # f32 state with f64 refinement.
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
+
+    state_dtype = jnp.float64 if args.x64 else jnp.float32
 
     from pylamp_tpu.models import benchmarks as B
     from pylamp_tpu.models.driver import run_model
@@ -157,6 +166,7 @@ def main(argv=None):
         echo=True,
         profile_phases=args.profile_phases,
         scan_chunk=args.scan,
+        dtype=state_dtype,
     )
     print(f"done: {int(state.step)} steps, t={float(state.time):.6g}")
     return 0

@@ -29,6 +29,7 @@ def run_model(
     on_divergence: str = "retry",
     profile_phases: bool = False,
     scan_chunk: int = 0,
+    dtype=None,
 ):
     """Run the model for cfg.time.max_steps (or until max_time).
 
@@ -56,7 +57,15 @@ def run_model(
     if scan_chunk > 0 and profile_phases:
         raise ValueError("scan_chunk and profile_phases are mutually exclusive")
 
-    grid, table, state = build(cfg)
+    if dtype is None:
+        # f64 where available (CPU / x64 sessions); otherwise f32 state —
+        # build(dtype=f64) without x64 would silently truncate to f32 AND
+        # leave precision="auto" resolving to a plain f32 solve that can
+        # never reach the 1e-8 default tolerance.
+        import jax.numpy as jnp
+
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    grid, table, state = build(cfg, dtype=dtype)
     if resume_from:
         state, _ = load_checkpoint(resume_from, template=state)
 
