@@ -98,6 +98,12 @@ class SolverConfig:
     # V-cycle barely reduces the momentum residual (solvers/mg.py).
     mg_velocity_inner_iters: int = 0
     mg_velocity_inner_tol: float = 3e-2
+    # > 0: clip every COARSE MG level's viscosity to +-this factor around
+    # the level's geometric mean (solvers/mg.py make_velocity_mg).  The
+    # fine level always keeps the true viscosity; only the coarse-grid
+    # corrections come from the milder surrogate — a sharp-interface
+    # (sticky-air) robustness remedy.  0 disables.
+    mg_eta_cap: float = 0.0
     # Multi-chip: replicate MG levels whose smaller extent is <= this many
     # cells across the device mesh (one all-gather per V-cycle) instead of
     # leaving them domain-decomposed and ICI-latency-bound.  Takes effect

@@ -185,6 +185,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             schur_poisson_iters=solver.schur_poisson_iters,
             velocity_inner_iters=solver.mg_velocity_inner_iters,
             velocity_inner_tol=solver.mg_velocity_inner_tol,
+            eta_cap=solver.mg_eta_cap,
         )
     elif solver.preconditioner == "vanka":
         from pylamp_tpu.solvers.vanka import make_vanka_mg_preconditioner

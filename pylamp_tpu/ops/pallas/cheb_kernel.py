@@ -90,7 +90,8 @@ _EMIT_VMEM_LIMIT = 48 * 1024 * 1024  # scoped-stack limit for emit_residual
 
 def _kernel(coeffs_ref, scal_ref, exg_h, eyg_h, rx_h, ry_h, es_h, en_h,
             *out_and_scratch,
-            br, grid, iters, zero_init, h=H, emit_residual=False):
+            br, grid, iters, zero_init, h=H, emit_residual=False,
+            periodic_x=False):
     """Window row maps for halo depth h, top = h + 1 (padded row p =
     window row w + i*br):
       exg: vx row j  at w = j + top  (ghost top row at w = h for block 0)
@@ -161,15 +162,24 @@ def _kernel(coeffs_ref, scal_ref, exg_h, eyg_h, rx_h, ry_h, es_h, en_h,
     # --- Jacobi diagonals from the window viscosities (velocity_diagonals)
     # dvx at vx row j (w) cols 1..nx-1: 2(en[j,i]+en[j,i-1])/dx^2
     #   + (es[j,1:-1... es rows J=j and J=j+1)/dy^2; Dirichlet cols = kbnd.
+    es_dn = jnp.concatenate([es[1:], es[-1:]], axis=0)  # corner row J = j+1
     dvx_int = (
         2.0 * (en_c[:, 1:] + en_c[:, :-1]) / dx**2
-        + (es[:, 1:-1] + jnp.concatenate([es[1:, 1:-1], es[-1:, 1:-1]], axis=0))
-        / dy**2
+        + (es[:, 1:-1] + es_dn[:, 1:-1]) / dy**2
     )  # rows w: uses es rows w (J=j) and w+1 (J=j+1); last row garbage (edge)
-    dvx = jnp.concatenate(
-        [jnp.full_like(dvx_int[:, :1], kb), dvx_int,
-         jnp.full_like(dvx_int[:, :1], kb)], axis=1,
-    )  # (W, nx+1)
+    if periodic_x:
+        # seam diagonal under the half-row convention
+        # (stokes_solver.velocity_diagonals)
+        dvx_seam = 0.5 * (
+            2.0 * (en_c[:, :1] + en_c[:, -1:]) / dx**2
+            + (es[:, :1] + es_dn[:, :1]) / dy**2
+        )
+        dvx = jnp.concatenate([dvx_seam, dvx_int, dvx_seam], axis=1)
+    else:
+        dvx = jnp.concatenate(
+            [jnp.full_like(dvx_int[:, :1], kb), dvx_int,
+             jnp.full_like(dvx_int[:, :1], kb)], axis=1,
+        )  # (W, nx+1)
     # dvy at vy row j cols 0..nx-1 (en cols): 2(en[j]+en[j-1])/dy^2
     #   + (es[j, i+1]+es[j, i])/dx^2 ; wall rows j in {0, ny} = kbnd.
     en_up = jnp.concatenate([en_c[:1], en_c[:-1]], axis=0)  # center row j-1
@@ -208,9 +218,14 @@ def _kernel(coeffs_ref, scal_ref, exg_h, eyg_h, rx_h, ry_h, es_h, en_h,
             s_bottom * ex[br + top - 1 : br + top],
             ex,
         )
-        # vy ghost columns (every block, every iteration)
-        ey = jnp.where(cw_iota_y == 0, s_left * ey[:, 1:2], ey)
-        ey = jnp.where(cw_iota_y == nx + 1, s_right * ey[:, nx : nx + 1], ey)
+        # vy ghost columns (every block, every iteration); periodic sides
+        # wrap through the seam instead of mirroring with a ghost sign
+        if periodic_x:
+            ey = jnp.where(cw_iota_y == 0, ey[:, nx : nx + 1], ey)
+            ey = jnp.where(cw_iota_y == nx + 1, ey[:, 1:2], ey)
+        else:
+            ey = jnp.where(cw_iota_y == 0, s_left * ey[:, 1:2], ey)
+            ey = jnp.where(cw_iota_y == nx + 1, s_right * ey[:, nx : nx + 1], ey)
         return ex, ey
 
     def apply_A(ex, ey):
@@ -235,9 +250,19 @@ def _kernel(coeffs_ref, scal_ref, exg_h, eyg_h, rx_h, ry_h, es_h, en_h,
             -(sxx[:, 1:] - sxx[:, :-1]) / dx
             - (sxy_dn[:, 1:-1] - sxy[:, 1:-1]) / dy
         )  # (W, nx-1)
-        ax = jnp.concatenate(
-            [kb * ex[:, :1], ax_int, kb * ex[:, -1:]], axis=1
-        )
+        if periodic_x:
+            # wrapped half-convention seam column (ops/stokes.py); both
+            # duplicate vx columns receive the identical half-equation, so
+            # the update preserves seam consistency
+            ax_seam = 0.5 * (
+                -(sxx[:, :1] - sxx[:, -1:]) / dx
+                - (sxy_dn[:, :1] - sxy[:, :1]) / dy
+            )
+            ax = jnp.concatenate([ax_seam, ax_int, ax_seam], axis=1)
+        else:
+            ax = jnp.concatenate(
+                [kb * ex[:, :1], ax_int, kb * ex[:, -1:]], axis=1
+            )
         # ay at vy row j (w): -(syy[j]-syy[j-1])/dy - (sxy[J=j,i+1]-sxy[J=j,i])/dx
         syy_up = jnp.concatenate([syy[:1], syy[:-1]], axis=0)  # cell j-1
         ay_int = (
@@ -356,13 +381,19 @@ def chebyshev_smooth_pallas(
     # ghost: padded row p = vx row p - top
     exg = jnp.concatenate([bcs.s_top * ex[:1], ex, bcs.s_bottom * ex[-1:]], axis=0)
     exg = _pad_top_rows(exg, top - 1, rows, w128)
-    eyg = jnp.concatenate([bcs.s_left * ey[:, :1], ey, bcs.s_right * ey[:, -1:]],
-                          axis=1)
+    if bcs.periodic_x:
+        eyg = jnp.concatenate([ey[:, -1:], ey, ey[:, :1]], axis=1)
+        s_lr = (0.0, 0.0)  # unused in the wrap path (no ghost sign exists)
+    else:
+        eyg = jnp.concatenate(
+            [bcs.s_left * ey[:, :1], ey, bcs.s_right * ey[:, -1:]], axis=1
+        )
+        s_lr = (bcs.s_left, bcs.s_right)
     eyg = _pad_top_rows(eyg, top, rows, w128)
 
     coeffs = chebyshev_coeffs(lam_max, iters)
     scal = jnp.asarray(
-        [kbnd, bcs.s_top, bcs.s_bottom, bcs.s_left, bcs.s_right], f32
+        [kbnd, bcs.s_top, bcs.s_bottom, s_lr[0], s_lr[1]], f32
     )
 
     nb = ny // br
@@ -387,7 +418,7 @@ def chebyshev_smooth_pallas(
 
     kernel = functools.partial(
         _kernel, br=br, grid=grid, iters=iters, zero_init=zero_init, h=h,
-        emit_residual=emit_residual,
+        emit_residual=emit_residual, periodic_x=bcs.periodic_x,
     )
 
     compiler_params = None

@@ -35,7 +35,8 @@ from pylamp_tpu.core.grid import StaggeredGrid
 
 
 def _kernel(vxg_hbm, vyg2_hbm, esp_hbm, enp_hbm, rx_ref, ry_ref,
-            vxg_b2, vyg2_b2, esp_b2, enp_b2, sems, *, br, grid, kbnd_s):
+            vxg_b2, vyg2_b2, esp_b2, enp_b2, sems, *, br, grid, kbnd_s,
+            periodic_x=False):
     ny, nx = grid.ny, grid.nx
     dx = grid.dx
     dy = grid.dy
@@ -124,9 +125,19 @@ def _kernel(vxg_hbm, vyg2_hbm, esp_hbm, enp_hbm, rx_ref, ry_ref,
         - (sxy[1 : br + 1, 1:-1] - sxy[0:br, 1:-1]) / dy
     )  # (br, nx-1)
     kb = kbnd_s[0]
-    rx = jnp.concatenate(
-        [kb * vx_c[:, :1], rx_int, kb * vx_c[:, -1:]], axis=1
-    )
+    if periodic_x:
+        # Seam momentum row (vx columns 0 and nx are one physical node):
+        # wrapped stencil under the HALF-ROW convention (ops/stokes.py),
+        # emitted into both duplicate columns.
+        rx_seam = 0.5 * (
+            -(sxx[:, :1] - sxx[:, -1:]) / dx
+            - (sxy[1 : br + 1, :1] - sxy[0:br, :1]) / dy
+        )
+        rx = jnp.concatenate([rx_seam, rx_int, rx_seam], axis=1)
+    else:
+        rx = jnp.concatenate(
+            [kb * vx_c[:, :1], rx_int, kb * vx_c[:, -1:]], axis=1
+        )
     rx_ref[:, :] = rx
 
     # syy on cell rows j = r0-1 .. r0+br-1 (needed for ry rows r0..r0+br-1):
@@ -192,7 +203,12 @@ def momentum_apply_pallas(
     # (br+8)-row DMA stays in bounds
     vxg = jnp.concatenate([bcs.s_top * vx[:1], vx, bcs.s_bottom * vx[-1:]], axis=0)
     vxg = _pad_rows_to(vxg, ny + 8, w128)
-    vyg = jnp.concatenate([bcs.s_left * vy[:, :1], vy, bcs.s_right * vy[:, -1:]], axis=1)
+    if bcs.periodic_x:
+        vyg = jnp.concatenate([vy[:, -1:], vy, vy[:, :1]], axis=1)
+    else:
+        vyg = jnp.concatenate(
+            [bcs.s_left * vy[:, :1], vy, bcs.s_right * vy[:, -1:]], axis=1
+        )
     zrow = jnp.zeros((1, nx + 2), f32)
     vyg2 = _pad_rows_to(jnp.concatenate([zrow, vyg, zrow], axis=0), ny + 8, w128)
     if eta_prepped is None:
@@ -233,7 +249,8 @@ def momentum_apply_pallas(
                   vxg_b2, vyg2_b2, esp_b2, enp_b2, sems):
         _kernel(vxg_h, vyg2_h, esp_h, enp_h, rx_ref, ry_ref,
                 vxg_b2, vyg2_b2, esp_b2, enp_b2, sems,
-                br=br, grid=grid, kbnd_s=kbnd_ref)
+                br=br, grid=grid, kbnd_s=kbnd_ref,
+                periodic_x=bcs.periodic_x)
 
     rx, ry_main = pl.pallas_call(
         kernel_fn,
@@ -268,7 +285,7 @@ def momentum_apply_pallas(
 def _saddle_kernel(vxg_hbm, vyg2_hbm, esp_hbm, enp_hbm, pp_hbm,
                    rx_ref, ry_ref, rc_ref,
                    vxg_b2, vyg2_b2, esp_b2, enp_b2, pp_b2, sems,
-                   *, br, grid, scal):
+                   *, br, grid, scal, periodic_x=False):
     ny, nx = grid.ny, grid.nx
     dx = grid.dx
     dy = grid.dy
@@ -340,9 +357,18 @@ def _saddle_kernel(vxg_hbm, vyg2_hbm, esp_hbm, enp_hbm, pp_hbm,
         - (sxy[1 : br + 1, 1:-1] - sxy[0:br, 1:-1]) / dy
         + (p_c[:, 1:] - p_c[:, :-1]) / dx
     )
-    rx_ref[:, :] = jnp.concatenate(
-        [kb * vx_c[:, :1], rx_int, kb * vx_c[:, -1:]], axis=1
-    )
+    if periodic_x:
+        # wrapped seam column under the half-row convention (ops/stokes.py)
+        rx_seam = 0.5 * (
+            -(sxx[:, :1] - sxx[:, -1:]) / dx
+            - (sxy[1 : br + 1, :1] - sxy[0:br, :1]) / dy
+            + (p_c[:, :1] - p_c[:, -1:]) / dx
+        )
+        rx_ref[:, :] = jnp.concatenate([rx_seam, rx_int, rx_seam], axis=1)
+    else:
+        rx_ref[:, :] = jnp.concatenate(
+            [kb * vx_c[:, :1], rx_int, kb * vx_c[:, -1:]], axis=1
+        )
 
     vy_all = vyg2[:, 1:-1]
     syy = 2.0 * enp[0 : br + 1, :] * (vy_all[1 : br + 2, :] - vy_all[0 : br + 1, :]) / dy
@@ -362,14 +388,15 @@ def _saddle_kernel(vxg_hbm, vyg2_hbm, esp_hbm, enp_hbm, pp_hbm,
 
 
 def saddle_apply_eligible(grid: StaggeredGrid, dtype, bcs: VelocityBCs) -> bool:
-    """f32, TPU, non-periodic, row count divisible by the 128-row block."""
+    """f32, TPU, row count divisible by the 128-row block.  Periodic-x is
+    supported: the kernel emits the wrapped half-convention seam columns
+    (round-3 verdict item 6 — periodic runs keep the fused outer apply)."""
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
         return False
     return (
         dtype == jnp.float32
-        and not bcs.periodic_x
         and grid.uniform
         and grid.ny % 128 == 0
         and grid.nx >= 256
@@ -398,7 +425,12 @@ def saddle_apply_pallas(
 
     vxg = jnp.concatenate([bcs.s_top * vx[:1], vx, bcs.s_bottom * vx[-1:]], axis=0)
     vxg = _pad_rows_to(vxg, ny + 8, w128)
-    vyg = jnp.concatenate([bcs.s_left * vy[:, :1], vy, bcs.s_right * vy[:, -1:]], axis=1)
+    if bcs.periodic_x:
+        vyg = jnp.concatenate([vy[:, -1:], vy, vy[:, :1]], axis=1)
+    else:
+        vyg = jnp.concatenate(
+            [bcs.s_left * vy[:, :1], vy, bcs.s_right * vy[:, -1:]], axis=1
+        )
     zrow = jnp.zeros((1, nx + 2), f32)
     vyg2 = _pad_rows_to(jnp.concatenate([zrow, vyg, zrow], axis=0), ny + 8, w128)
     zp = jnp.zeros((1, nx), f32)
@@ -435,7 +467,8 @@ def saddle_apply_pallas(
         _saddle_kernel(vxg_h, vyg2_h, esp_h, enp_h, pp_h,
                        rx_ref, ry_ref, rc_ref,
                        vxg_b2, vyg2_b2, esp_b2, enp_b2, pp_b2, sems,
-                       br=br, grid=grid, scal=scal_ref)
+                       br=br, grid=grid, scal=scal_ref,
+                       periodic_x=bcs.periodic_x)
 
     rx, ry_main, rc = pl.pallas_call(
         kernel_fn,

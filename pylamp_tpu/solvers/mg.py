@@ -257,7 +257,7 @@ def momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd, use_pallas=False,
     if halo_mesh is not None:
         return _momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd,
                                halo_mesh=halo_mesh)
-    if use_pallas and not bcs.periodic_x and _pallas_eligible(grid, vx.dtype):
+    if use_pallas and _pallas_eligible(grid, vx.dtype):
         from pylamp_tpu.ops.pallas.stokes_kernel import momentum_apply_pallas
 
         return momentum_apply_pallas(vx, vy, eta_s, eta_n, grid, bcs, kbnd,
@@ -486,6 +486,7 @@ def make_velocity_mg(
     halo_mesh=None,
     semicoarsen: float = 0.0,
     lam_max=None,
+    eta_cap: float = 0.0,
 ):
     """Returns mg(rx, ry) -> (zx, zy): `cycles` handled by the caller.
 
@@ -536,6 +537,21 @@ def make_velocity_mg(
         grids.append(grids[-1].coarsen(cx, cy))
         etas.append(coarsen_eta(*etas[-1], cx=cx, cy=cy))
 
+    if eta_cap > 0.0:
+        # eta-capped coarse hierarchy (sharp-interface robustness): clip
+        # each COARSE level's viscosity to +-cap around its own geometric
+        # mean.  Extreme contrast (sticky air: 1e4+ cell-sharp jumps)
+        # makes the coarse-grid corrections locally wrong enough to slow
+        # the whole cycle; capping only below the fine level leaves the
+        # smoother's operator exact while the corrections come from a
+        # milder surrogate.  The fine level is NEVER capped (level 0 must
+        # smooth the true operator the inner Krylov iterates against).
+        def _cap(a):
+            gm = jnp.exp(jnp.mean(jnp.log(a)))
+            return jnp.clip(a, gm / eta_cap, gm * eta_cap)
+
+        etas = [etas[0]] + [(_cap(es), _cap(en)) for es, en in etas[1:]]
+
     # explicit-halo applies per level: skip levels that are replicated
     # across the mesh (coarse_replicate) — resharding a replicated level
     # back into blocks would defeat the replication; ops.stokes falls back
@@ -574,8 +590,6 @@ def make_velocity_mg(
     # hoist the Pallas kernel's viscosity ghost/pad prep out of the hot
     # applies: computed once per level per solve (prep_eta_pallas)
     preps = [None] * nlev
-    if use_pallas and bcs.periodic_x:
-        use_pallas = False  # the Pallas momentum kernel has no wrap path
     if use_pallas:
         from pylamp_tpu.ops.pallas.stokes_kernel import prep_eta_pallas
 
@@ -647,8 +661,7 @@ def make_velocity_mg(
     # V-cycle's separate momentum_apply HBM pass per level per cycle.
     smoother_preps = [None] * nlev
     smoother_emit = [False] * nlev
-    if (use_pallas_smoother and smoother == "chebyshev" and halo_mesh is None
-            and not bcs.periodic_x):
+    if use_pallas_smoother and smoother == "chebyshev" and halo_mesh is None:
         from pylamp_tpu.ops.pallas.cheb_kernel import (
             _pick_h,
             prep_smoother_eta,
@@ -874,6 +887,7 @@ def make_mg_preconditioner(
     schur_poisson_iters: int = 3,
     velocity_inner_iters: int = 0,
     velocity_inner_tol: float = 3e-2,
+    eta_cap: float = 0.0,
 ):
     """Block upper-triangular preconditioner for the full Stokes system.
 
@@ -908,7 +922,7 @@ def make_mg_preconditioner(
         use_pallas_smoother=use_pallas_smoother and mesh is None,
         scaled_transfers=scaled_transfers, ls_damp=ls_damp,
         mesh=mesh, coarse_replicate=coarse_replicate, halo_mesh=halo_mesh,
-        semicoarsen=semicoarsen, lam_max=lam_max,
+        semicoarsen=semicoarsen, lam_max=lam_max, eta_cap=eta_cap,
     )
     dtype = eta_n.dtype
 
