@@ -132,6 +132,7 @@ def main():
             del multi, state_s
         del step
         gc.collect()
+        jax.clear_caches()  # drop executables' device workspaces too
 
         try:
             runner = make_phased_runner(grid, cfg, table)

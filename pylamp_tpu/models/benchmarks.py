@@ -284,16 +284,24 @@ def sticky_air(nx=1024, ny=256, max_steps=50):
         # 2982 iters/step with convergence failures vs ~395 iters
         # all-green with a 10-iteration inner velocity FGMRES around the
         # V-cycle).  Deep Chebyshev smoothing makes each inner V-cycle
-        # strong enough that the inner solve exits early, and a loose
-        # inner tolerance (1e-2) avoids over-solving the velocity block.
-        # Tuning matrix at spec 1024x256 on v5e: r60/vtol1e-2 = 0.97
-        # s/step @ 177 iters all-converged, vs r30/vtol3e-2 = 1.66 @ 434
-        # and round-2 settings ~3.9 with convergence failures.
+        # strong enough that the inner solve exits early.
+        # Round-4 tuning matrix at spec 1024x256 on v5e (interleaved
+        # repeats; the tunneled chip is time-shared, so iteration counts
+        # are the reliable signal): power lambda beats the Gershgorin
+        # bound at sharp contrast (mean 164 vs 182 outer iters);
+        # mg_eta_cap=1e2 coarse-level viscosity capping cuts it to ~147;
+        # a deeper/tighter inner velocity solve (16 iters @ 3e-3, was
+        # 10 @ 1e-2) to ~118 at the same wall cost.  Shallower fused
+        # smoothing (deg 3/4/7) measured strictly worse in both time and
+        # iterations; cap=1e1 over-caps (iters up 1.7x), cap=3e2 is a
+        # no-op (coarsened contrast already below it).
         solver=SolverConfig(stokes_tol=1e-8, stokes_restart=60,
                             stokes_maxiter=3000,
                             mg_pre_smooth=8, mg_post_smooth=8,
-                            mg_velocity_inner_iters=10,
-                            mg_velocity_inner_tol=1e-2),
+                            mg_lam_mode="power",
+                            mg_eta_cap=1e2,
+                            mg_velocity_inner_iters=16,
+                            mg_velocity_inner_tol=3e-3),
         time=TimeConfig(courant=0.25, max_steps=max_steps,
                         dt_max=3.15576e10),  # <= ~1 kyr: free-surface stability
         material_of=material_of,

@@ -887,6 +887,7 @@ def make_mg_preconditioner(
     schur_poisson_iters: int = 3,
     velocity_inner_iters: int = 0,
     velocity_inner_tol: float = 3e-2,
+    velocity_inner_method: str = "fgmres",
     eta_cap: float = 0.0,
 ):
     """Block upper-triangular preconditioner for the full Stokes system.
@@ -947,6 +948,7 @@ def make_mg_preconditioner(
         raise ValueError(f"unknown schur surrogate {schur!r}")
 
     if velocity_inner_iters > 0:
+        from pylamp_tpu.solvers.krylov import fcg as _fcg
         from pylamp_tpu.solvers.krylov import fgmres as _fgmres
 
         def vel_solve(rvx, rvy):
@@ -955,15 +957,28 @@ def make_mg_preconditioner(
                                       kbnd, use_pallas=use_pallas,
                                       halo_mesh=halo_mesh)
 
-            z, _ = _fgmres(
-                vop, (rvx, rvy),
-                (jnp.zeros_like(rvx), jnp.zeros_like(rvy)),
-                M=lambda r: mg(r[0], r[1]),
-                tol=velocity_inner_tol,
-                restart=velocity_inner_iters,
-                maxiter=velocity_inner_iters,
-                cgs_passes=1,
-            )
+            if velocity_inner_method == "fcg":
+                # the momentum block is SPD and the V-cycle approximately
+                # so: flexible CG needs no stored basis / orthogonalization
+                # sweep — each iteration is one apply + one V-cycle + two
+                # dots (vs the growing CGS pass of FGMRES)
+                z, _ = _fcg(
+                    vop, (rvx, rvy),
+                    (jnp.zeros_like(rvx), jnp.zeros_like(rvy)),
+                    M=lambda r: mg(r[0], r[1]),
+                    tol=velocity_inner_tol,
+                    maxiter=velocity_inner_iters,
+                )
+            else:
+                z, _ = _fgmres(
+                    vop, (rvx, rvy),
+                    (jnp.zeros_like(rvx), jnp.zeros_like(rvy)),
+                    M=lambda r: mg(r[0], r[1]),
+                    tol=velocity_inner_tol,
+                    restart=velocity_inner_iters,
+                    maxiter=velocity_inner_iters,
+                    cgs_passes=1,
+                )
             return z
     else:
         def vel_solve(rvx, rvy):

@@ -80,6 +80,12 @@ def main(nx=1024, ny=256, n_steps=80, out_dir="validation"):
     iters = []
     for n in range(1, n_steps + 1):
         state, diag = step(state)
+        if n == 1:
+            # timing excludes the first (compile) step
+            import jax as _jax
+
+            _jax.block_until_ready(state.vx)
+            t0 = time.time()
         iters.append(int(diag["stokes_iterations"]))
         all_converged &= bool(diag["stokes_converged"])
         if n % 5 == 0 or n == n_steps:
@@ -121,7 +127,7 @@ def main(nx=1024, ny=256, n_steps=80, out_dir="validation"):
         "all_converged": all_converged,
         "iters_min": int(min(iters)), "iters_max": int(max(iters)),
         "iters_mean": round(float(np.mean(iters)), 1),
-        "seconds_per_step": round(wall / n_steps, 3),
+        "seconds_per_step": round(wall / max(n_steps - 1, 1), 3),
         "device": str(jax.devices()[0]),
     }
     with open(os.path.join(out_dir, f"{tag}.json"), "w") as fh:

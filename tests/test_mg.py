@@ -98,3 +98,31 @@ def test_mg_mesh_independence_isoviscous():
         assert bool(sol.info.converged)
         iters.append(int(sol.info.iterations))
     assert iters[1] <= iters[0] + 10, iters
+
+
+def test_mg_eta_capped_hierarchy_converges_sharp_contrast():
+    """mg_eta_cap clips COARSE-level viscosity around the level geometric
+    mean (sharp-interface remedy; measured ~20% outer-iteration cut on
+    spec sticky air).  The fine level keeps the true operator, so the
+    preconditioner change must not change the answer — only the path."""
+    from tests.test_vanka import _sharp_problem
+
+    grid, bcs, eta_s, eta_n, rho_vx, rho_vy = _sharp_problem(nx=48)
+
+    sols = {}
+    for cap in (0.0, 1e2):
+        sols[cap] = solve_stokes(
+            eta_s, eta_n, rho_vx, rho_vy, 0.0, 1.0, grid, bcs,
+            tol=1e-8, restart=60, maxiter=1500,
+            make_preconditioner=partial(
+                make_mg_preconditioner, pre_smooth=8, post_smooth=8,
+                velocity_inner_iters=10, velocity_inner_tol=1e-2,
+                eta_cap=cap,
+            ),
+        )
+        assert bool(sols[cap].info.converged), cap
+    ref = sols[0.0]
+    got = sols[1e2]
+    scale = float(jnp.max(jnp.abs(ref.vy)))
+    assert float(jnp.max(jnp.abs(got.vx - ref.vx))) < 1e-6 * scale
+    assert float(jnp.max(jnp.abs(got.vy - ref.vy))) < 1e-6 * scale
