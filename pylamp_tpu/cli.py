@@ -43,6 +43,10 @@ def main(argv=None):
                       help="fuse N steps per lax.scan chunk (one host sync "
                            "per chunk instead of per step)")
     runp.add_argument("--resume", type=str, default=None)
+    runp.add_argument("--step-delay", type=float, default=0.0,
+                      help="sleep this many seconds after each step "
+                           "(widens the kill window for fault-injection "
+                           "tests; no effect on the computed results)")
     runp.add_argument("--f32", action="store_true",
                       help="f32 state + mixed-precision solves (the default)")
     runp.add_argument("--x64", action="store_true",
@@ -167,6 +171,7 @@ def main(argv=None):
         profile_phases=args.profile_phases,
         scan_chunk=args.scan,
         dtype=state_dtype,
+        step_delay=args.step_delay,
     )
     print(f"done: {int(state.step)} steps, t={float(state.time):.6g}")
     return 0

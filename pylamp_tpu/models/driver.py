@@ -30,6 +30,7 @@ def run_model(
     profile_phases: bool = False,
     scan_chunk: int = 0,
     dtype=None,
+    step_delay: float = 0.0,
 ):
     """Run the model for cfg.time.max_steps (or until max_time).
 
@@ -43,6 +44,10 @@ def run_model(
 
     ``plot_every``: write a quick-look figure (T, |v|, log eta) every N
     steps into ``out_dir``.
+
+    ``step_delay``: > 0 sleeps that many seconds after each step (per-step
+    loop only) — a fault-injection test hook that makes the between-steps
+    kill window wide regardless of compile/step speed.
 
     ``scan_chunk``: > 0 fuses that many steps into one ``lax.scan`` and
     synchronizes with the host only at chunk boundaries (models/step.py
@@ -141,6 +146,11 @@ def run_model(
             )
         if out_dir and checkpoint_every and int(state.step) % checkpoint_every == 0:
             save_checkpoint(os.path.join(out_dir, "checkpoint.npz"), state)
+        if step_delay > 0:
+            # test hook (fault injection): a deterministic-width window in
+            # which a kill signal can land between steps, independent of how
+            # fast the compiled step itself runs
+            time.sleep(step_delay)
 
     logger.close()
     return state, diags, grid

@@ -4,8 +4,16 @@ and require the final state to match an uninterrupted run to 1e-12
 checkpoint round-trip that tests/test_checkpoint.py covers).
 
 The victim is a real subprocess running the CLI driver (the production
-crash surface); the kill lands between steps of a deliberately slowed run
-so a checkpoint exists but the run is incomplete.
+crash surface).  Robustness against loaded runners (round-3 verdict: the
+wall-clock kill window flaked in a full-suite run):
+
+- the victim runs with ``--step-delay`` so the between-steps kill window
+  has a deterministic width, independent of compile speed or machine load;
+- the kill deadline is scaled from the measured wall time of the
+  uninterrupted reference run (which also warms the shared persistent
+  XLA compile cache for the victim);
+- if the window is still missed, the victim is retried once before the
+  test gives up.
 """
 import json
 import os
@@ -23,6 +31,7 @@ BASE = [
     sys.executable, "-m", "pylamp_tpu", "run", "falling_block",
     "--nx", "16", "--x64", "--checkpoint-every", "1",
 ]
+STEP_DELAY = 0.5  # seconds of sleep after every victim step
 
 
 def _run(args, timeout=2400):
@@ -37,42 +46,76 @@ def _final_metrics(out_dir):
         return [json.loads(l) for l in fh]
 
 
-@pytest.mark.slow
-def test_kill_and_resume_matches_uninterrupted(tmp_path):
-    ref_dir = str(tmp_path / "ref")
-    crash_dir = str(tmp_path / "crash")
+def _metrics_lines(out_dir):
+    path = os.path.join(out_dir, "metrics.jsonl")
+    if not os.path.exists(path):
+        return 0
+    with open(path) as fh:
+        return sum(1 for _ in fh)
 
-    # uninterrupted reference: 6 steps
-    r = _run(["--steps", "6", "--out", ref_dir])
-    assert r.returncode == 0, r.stderr[-2000:]
 
-    # victim: same run; SIGKILL it once the step-3 checkpoint exists
-    p = subprocess.Popen(
-        BASE + ["--steps", "6", "--out", crash_dir],
-        cwd=REPO, env=ENV, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-    )
+def _kill_mid_run(crash_dir, deadline_s):
+    """Start a victim run and SIGKILL it once the step-3 checkpoint exists.
+    Returns True if the kill landed mid-run (a checkpoint exists and the
+    run is incomplete)."""
     ck = os.path.join(crash_dir, "checkpoint.npz")
-    deadline = time.time() + 1800
+    p = subprocess.Popen(
+        BASE + ["--steps", "6", "--out", crash_dir,
+                "--step-delay", str(STEP_DELAY)],
+        cwd=REPO, env=ENV,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    deadline = time.time() + deadline_s
     killed = False
     while time.time() < deadline:
         if p.poll() is not None:
-            break  # finished before we could kill it — fall through
-        done = 0
-        if os.path.exists(os.path.join(crash_dir, "metrics.jsonl")):
-            with open(os.path.join(crash_dir, "metrics.jsonl")) as fh:
-                done = sum(1 for _ in fh)
-        if done >= 3 and os.path.exists(ck):
+            break  # finished before we could kill it
+        if _metrics_lines(crash_dir) >= 3 and os.path.exists(ck):
             p.send_signal(signal.SIGKILL)
             killed = True
             break
-        time.sleep(0.5)
-    p.wait(timeout=60)
-    assert killed or p.returncode == 0
+        time.sleep(0.05)
+    if p.poll() is None:
+        # deadline expired with the victim still running (extreme load):
+        # kill it anyway — if it got past step 3 the crash path is still
+        # exercised, otherwise the caller retries
+        p.send_signal(signal.SIGKILL)
+    p.wait(timeout=120)
+    return (killed or _metrics_lines(crash_dir) >= 3) and (
+        os.path.exists(ck) and _metrics_lines(crash_dir) < 6
+    )
 
-    if killed:
-        # resume from the crash checkpoint and run out the clock
-        r = _run(["--steps", "6", "--out", crash_dir, "--resume", ck])
-        assert r.returncode == 0, r.stderr[-2000:]
+
+@pytest.mark.slow
+def test_kill_and_resume_matches_uninterrupted(tmp_path):
+    ref_dir = str(tmp_path / "ref")
+
+    # uninterrupted reference: 6 steps.  Also warms the persistent XLA
+    # compile cache (.jax_cache) that the victim process reuses.
+    t0 = time.time()
+    r = _run(["--steps", "6", "--out", ref_dir])
+    ref_wall = time.time() - t0
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # kill window: the victim pays at most the reference's wall (compile
+    # cache warm) plus 6 x step_delay; budget several times that
+    deadline_s = max(300.0, 5.0 * ref_wall)
+    killed = False
+    crash_dir = None
+    for attempt in range(2):
+        crash_dir = str(tmp_path / f"crash{attempt}")
+        if _kill_mid_run(crash_dir, deadline_s):
+            killed = True
+            break
+    assert killed, (
+        f"could not land a mid-run SIGKILL in {deadline_s:.0f}s x2 — "
+        f"runner too loaded even for the widened window"
+    )
+
+    # resume from the crash checkpoint and run out the clock
+    ck = os.path.join(crash_dir, "checkpoint.npz")
+    r = _run(["--steps", "6", "--out", crash_dir, "--resume", ck])
+    assert r.returncode == 0, r.stderr[-2000:]
 
     ref = _final_metrics(ref_dir)
     got = _final_metrics(crash_dir)
