@@ -6,9 +6,11 @@ available accelerator, and prints ONE JSON line.
 
 Baseline: the reference's method (scipy assemble + SuperLU spsolve; the
 reference repo publishes no numbers and the mount was empty — BASELINE.md)
-measured here via tests/oracle on this machine's CPU: 256^2 Stokes
-assemble+solve = 21.6 s; scaling assembly O(N) and spsolve ~O(N^1.5) to
-1024^2 and adding the energy solve gives ~1100 s/step => 9.1e-4 steps/s.
+measured here via tests/oracle on this machine's CPU at 128^2/256^2/512^2
+(scripts/measure_baseline.py -> validation/baseline_cpu.json): solve_s =
+4.97e-7 * N^1.576 (MEASURED exponent; rounds 1-3 assumed 1.5 from a single
+256^2 point), assembly 2.33e-4 s/cell.  Extrapolated 1024^2 full step
+(Stokes + energy + assembly) = 2115 s => 4.7e-4 steps/s.
 """
 import argparse
 import dataclasses
@@ -28,12 +30,35 @@ from pylamp_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
 
-BASELINE_STEPS_PER_SEC = 1.0 / 1100.0  # reference-method CPU estimate (see above)
+# Reference-method CPU model, MEASURED at 128^2..512^2 on this machine
+# (validation/baseline_cpu.json): SuperLU solve 4.97e-7 * N^1.576 s,
+# assembly 2.33e-4 s/cell; the energy solve is a scalar system with ~1/3
+# the unknowns plus ~1/3 the assembly.
+_SOLVE_C, _SOLVE_P, _ASM_PER_CELL = 4.968e-7, 1.576, 2.33e-4
+
+
+def baseline_seconds_per_step(ncells, energy=True):
+    solve = _SOLVE_C * ncells ** _SOLVE_P
+    asm = _ASM_PER_CELL * ncells
+    if energy:
+        solve += _SOLVE_C * (ncells / 3.0) ** _SOLVE_P
+        asm += asm / 3.0
+    return solve + asm
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--benchmark", type=str, default="fk",
+                    choices=("fk", "sticky_air"),
+                    help="fk = 1024^2 FK stagnant lid (the BASELINE metric);"
+                         " sticky_air = spec 1024x256 Crameri free-surface "
+                         "relaxation (1e6 sharp contrast, hardest config)")
     ap.add_argument("--nx", type=int, default=1024)
+    ap.add_argument("--stretch-y", type=float, default=0.0, metavar="R",
+                    help="geometric y-stretching (last/first cell ratio R): "
+                         "measures the non-uniform-grid path (XLA stencils "
+                         "everywhere — the Pallas kernels require uniform "
+                         "spacing and fall back)")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--phase-steps", type=int, default=2,
@@ -48,34 +73,61 @@ def main():
                          "e.g. 'schur=wbfbt,mg_pre_smooth=4'")
     args = ap.parse_args()
 
-    from pylamp_tpu.models.benchmarks import fk_stagnant_lid
+    from pylamp_tpu.models.benchmarks import fk_stagnant_lid, sticky_air
     from pylamp_tpu.models.config import SolverConfig
     from pylamp_tpu.models.setup import build
     from pylamp_tpu.models.step import make_step
 
-    # Variable-viscosity (Frank-Kamenetskii, 1e4 contrast) convection with
-    # energy + markers: the full BASELINE metric workload.
-    cfg = fk_stagnant_lid(nx=args.nx, ny=args.nx, max_steps=10**9)
     overrides = {}
     for kv in filter(None, args.solver.split(",")):
         k, v = kv.split("=", 1)
         t = type(getattr(SolverConfig(), k))
         overrides[k] = (v.lower() in ("1", "true")) if t is bool else t(v)
-    base = dict(
-        stokes_tol=args.tol,
-        # round-3 tuning at 1024^2: restart 12 + two V-cycles + degree-4
-        # smoothing = 0.25 s/step @ ~28 iters vs 0.30 @ ~52 for the old
-        # restart-25/1-cycle/degree-3 (the short restart cuts the
-        # full-basis CGS traffic, the second cycle halves iterations)
-        stokes_restart=12,
-        stokes_maxiter=250,
-        mg_cycles=2,
-        mg_pre_smooth=4,
-        mg_post_smooth=4,
-        energy_tol=1e-10,
-    )
+
+    if args.benchmark == "sticky_air":
+        # Spec 1024x256 Crameri free-surface relaxation: 1e6 cell-sharp
+        # viscosity contrast, no energy solve.  Uses the preset's tuned
+        # solver (round-4 tuning matrix in models/benchmarks.py).
+        ny = max(args.nx // 4, 64)
+        cfg = sticky_air(nx=args.nx, ny=ny, max_steps=10**9)
+        base = dataclasses.asdict(cfg.solver)
+        base["stokes_tol"] = args.tol
+        metric = (f"{args.nx}x{ny} sticky-air free-surface Stokes+marker "
+                  f"timesteps/sec (1e6 sharp contrast, {args.tol:g} rel "
+                  f"residual, mixed f32/f64)")
+    else:
+        # Variable-viscosity (Frank-Kamenetskii, 1e4 contrast) convection
+        # with energy + markers: the full BASELINE metric workload.
+        ny = args.nx
+        cfg = fk_stagnant_lid(nx=args.nx, ny=ny, max_steps=10**9)
+        base = dict(
+            stokes_tol=args.tol,
+            # round-3 tuning at 1024^2: restart 12 + two V-cycles + degree-4
+            # smoothing = 0.25 s/step @ ~28 iters vs 0.30 @ ~52 for the old
+            # restart-25/1-cycle/degree-3 (the short restart cuts the
+            # full-basis CGS traffic, the second cycle halves iterations)
+            stokes_restart=12,
+            stokes_maxiter=250,
+            mg_cycles=2,
+            mg_pre_smooth=4,
+            mg_post_smooth=4,
+            energy_tol=1e-10,
+        )
+        metric = (f"{args.nx}^2 variable-viscosity Stokes+energy+marker "
+                  f"timesteps/sec (1e-8 rel residual, mixed f32/f64)")
     base.update(overrides)
     cfg = dataclasses.replace(cfg, solver=SolverConfig(**base))
+    if args.stretch_y:
+        from pylamp_tpu.core.grid import geometric_edges
+
+        cfg = dataclasses.replace(
+            cfg, y_edges=geometric_edges(cfg.ny, cfg.ly, args.stretch_y))
+        metric = metric.replace("timesteps/sec",
+                                f"timesteps/sec (y-stretched {args.stretch_y:g}x)")
+    # reference-method baseline at this problem size from the measured
+    # scaling fit (scripts/measure_baseline.py)
+    baseline_sps = 1.0 / baseline_seconds_per_step(
+        args.nx * ny, energy=cfg.physics.solve_energy)
     grid, table, state = build(cfg, dtype=jnp.float32)
     step = jax.jit(make_step(grid, cfg, table))
 
@@ -151,10 +203,10 @@ def main():
 
     steps_per_sec = 1.0 / median
     result = {
-        "metric": f"{args.nx}^2 variable-viscosity Stokes+energy+marker timesteps/sec (1e-8 rel residual, mixed f32/f64)",
+        "metric": metric,
         "value": round(steps_per_sec, 5),
         "unit": "steps/sec",
-        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+        "vs_baseline": round(steps_per_sec / baseline_sps, 2),
         "detail": {
             "seconds_per_step_median": round(median, 3),
             "seconds_per_step_min": round(times[0], 3),

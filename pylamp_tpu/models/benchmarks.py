@@ -295,6 +295,15 @@ def sticky_air(nx=1024, ny=256, max_steps=50):
         # smoothing (deg 3/4/7) measured strictly worse in both time and
         # iterations; cap=1e1 over-caps (iters up 1.7x), cap=3e2 is a
         # no-op (coarsened contrast already below it).
+        # Second A/B set on a warmed spec state (solve wall, median of 3):
+        # preset 0.84 s @ 92 iters beat inner-fcg (3.7 s/318 — flexible-CG
+        # loses badly to FGMRES as the inner velocity solve), fcg24@1e-3
+        # (1.19 s/71: fewest iters but each too dear), restart 120 (1.45),
+        # restart 30 (1.04), pre/post 12 (1.31), cycles=2+inner8 (0.89),
+        # inner tol 1e-2 (1.33/197), and a deep-inner wBFBT retry (17.9 s,
+        # 1620 iters, DIVERGED — the BFBT commutator argument genuinely
+        # fails on cell-sharp 1e6 jumps, not a tuning artifact).  ~0.84 s
+        # is a plateau: every neighbor in the knob space is worse.
         solver=SolverConfig(stokes_tol=1e-8, stokes_restart=60,
                             stokes_maxiter=3000,
                             mg_pre_smooth=8, mg_post_smooth=8,

@@ -1,0 +1,115 @@
+"""Measure the reference-method CPU baseline and fit its scaling exponent.
+
+BASELINE.md's ~1100 s/step figure for a 1024^2 step of the reference
+method (scipy assemble + SuperLU spsolve, the serial PyLamp approach) was
+a single 256^2 measurement scaled by an *assumed* O(N^1.5) solve
+complexity.  Round-3 verdict (Missing #7) asked for the exponent to be
+measured, not assumed: this script times the in-repo scipy oracle
+(tests/oracle/stokes_oracle.py — the independently-assembled discretization
+every operator is verified against) at several sizes on this machine's
+CPU, fits  t = c * N^p  on the solve phase, extrapolates to 1024^2, and
+writes validation/baseline_cpu.json.
+
+Run:  python scripts/measure_baseline.py [--sizes 128,256,512]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+from oracle.stokes_oracle import StokesOracle  # noqa: E402
+
+from pylamp_tpu.core.bc import VelocityBCs  # noqa: E402
+
+
+def measure(nx):
+    """Assemble + solve one variable-viscosity Stokes system at nx^2.
+
+    Viscosity: smooth 1e4 contrast (the FK-stagnant-lid regime of the
+    BASELINE metric).  Returns (assemble_s, solve_s)."""
+    ny = nx
+    rng = np.random.default_rng(0)
+    oracle = StokesOracle(nx, ny, 1.0, 1.0, VelocityBCs())
+    # smooth log-viscosity field, 1e4 contrast top-to-bottom like FK
+    y_s = np.linspace(0.0, 1.0, ny + 1)[:, None] * np.ones((1, nx + 1))
+    y_n = (np.linspace(0.0, 1.0, ny + 1)[:-1, None] + 0.5 / ny) * np.ones((1, nx))
+    eta_s = 10.0 ** (4.0 * (1.0 - y_s))
+    eta_n = 10.0 ** (4.0 * (1.0 - y_n[: ny, :]))
+    rho_vx = np.zeros((ny, nx + 1))
+    rho_vy = rng.standard_normal((ny + 1, nx)) * 0.01 + 1.0
+
+    t0 = time.perf_counter()
+    A = oracle.assemble(eta_s, eta_n)
+    b = oracle.rhs(rho_vx, rho_vy, 0.0, 1.0)
+    t_asm = time.perf_counter() - t0
+
+    from scipy.sparse.linalg import spsolve
+
+    t0 = time.perf_counter()
+    u = spsolve(A.tocsc(), b)
+    t_slv = time.perf_counter() - t0
+    assert np.all(np.isfinite(u))
+    return t_asm, t_slv
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=str, default="128,256,512")
+    ap.add_argument("--out", type=str, default="validation/baseline_cpu.json")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    rows = []
+    for nx in sizes:
+        t_asm, t_slv = measure(nx)
+        rows.append({"nx": nx, "assemble_s": round(t_asm, 2),
+                     "solve_s": round(t_slv, 2),
+                     "total_s": round(t_asm + t_slv, 2)})
+        print(rows[-1], flush=True)
+
+    # fit solve time ~ c * N^p  (N = nx^2 cells) on the measured sizes
+    logN = np.log([r["nx"] ** 2 for r in rows])
+    logt = np.log([r["solve_s"] for r in rows])
+    p, logc = np.polyfit(logN, logt, 1)
+    c = float(np.exp(logc))
+    # extrapolate the full step (assembly is ~O(N); energy solve adds a
+    # second, cheaper spsolve — bound it by another Stokes-assembly + a
+    # scalar solve ~ N^p with 1/3 the unknowns)
+    N1024 = 1024 ** 2
+    solve_1024 = c * N1024 ** p
+    asm_per_cell = rows[-1]["assemble_s"] / rows[-1]["nx"] ** 2
+    asm_1024 = asm_per_cell * N1024
+    energy_1024 = c * (N1024 / 3.0) ** p + asm_1024 / 3.0
+    step_1024 = solve_1024 + asm_1024 + energy_1024
+
+    result = {
+        "what": ("reference-method CPU baseline: scipy assemble + SuperLU "
+                 "spsolve of the verified oracle discretization "
+                 "(tests/oracle/stokes_oracle.py), variable viscosity 1e4"),
+        "measured": rows,
+        "fit": {"exponent_p": round(float(p), 3), "coeff_c": c,
+                "model": "solve_s = c * (nx*ny)^p"},
+        "extrapolated_1024": {
+            "stokes_solve_s": round(float(solve_1024), 1),
+            "assemble_s": round(float(asm_1024), 1),
+            "energy_solve_s": round(float(energy_1024), 1),
+            "step_s": round(float(step_1024), 1),
+        },
+        "cpu": os.popen(
+            "grep -m1 'model name' /proc/cpuinfo 2>/dev/null").read().strip(),
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result["fit"]))
+    print(json.dumps(result["extrapolated_1024"]))
+
+
+if __name__ == "__main__":
+    main()
