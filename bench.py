@@ -93,8 +93,8 @@ def main():
         base = dataclasses.asdict(cfg.solver)
         base["stokes_tol"] = args.tol
         metric = (f"{args.nx}x{ny} sticky-air free-surface Stokes+marker "
-                  f"timesteps/sec (1e6 sharp contrast, {args.tol:g} rel "
-                  f"residual, mixed f32/f64)")
+                  f"timesteps/sec (cell-sharp 1e4 viscosity contrast, "
+                  f"{args.tol:g} rel residual, mixed f32/f64)")
     else:
         # Variable-viscosity (Frank-Kamenetskii, 1e4 contrast) convection
         # with energy + markers: the full BASELINE metric workload.
