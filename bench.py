@@ -33,8 +33,23 @@ enable_persistent_cache()
 # Reference-method CPU model, MEASURED at 128^2..512^2 on this machine
 # (validation/baseline_cpu.json): SuperLU solve 4.97e-7 * N^1.576 s,
 # assembly 2.33e-4 s/cell; the energy solve is a scalar system with ~1/3
-# the unknowns plus ~1/3 the assembly.
+# the unknowns plus ~1/3 the assembly.  The fit is loaded from the committed
+# artifact so re-running scripts/measure_baseline.py on another machine
+# cannot leave vs_baseline silently stale (round-4 advisor finding); the
+# hardcoded values are the fallback when the artifact is absent.
 _SOLVE_C, _SOLVE_P, _ASM_PER_CELL = 4.968e-7, 1.576, 2.33e-4
+try:
+    import os as _os
+
+    with open(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            "validation", "baseline_cpu.json")) as _fh:
+        _base = json.load(_fh)
+    _SOLVE_C = float(_base["fit"]["coeff_c"])
+    _SOLVE_P = float(_base["fit"]["exponent_p"])
+    _m = max(_base["measured"], key=lambda r: r["nx"])
+    _ASM_PER_CELL = float(_m["assemble_s"]) / (_m["nx"] * _m["nx"])
+except (OSError, KeyError, ValueError):
+    pass
 
 
 def baseline_seconds_per_step(ncells, energy=True):
@@ -52,7 +67,7 @@ def main():
                     choices=("fk", "sticky_air"),
                     help="fk = 1024^2 FK stagnant lid (the BASELINE metric);"
                          " sticky_air = spec 1024x256 Crameri free-surface "
-                         "relaxation (1e6 sharp contrast, hardest config)")
+                         "relaxation (1e4 sharp contrast, hardest config)")
     ap.add_argument("--nx", type=int, default=1024)
     ap.add_argument("--stretch-y", type=float, default=0.0, metavar="R",
                     help="geometric y-stretching (last/first cell ratio R): "
@@ -71,7 +86,31 @@ def main():
     ap.add_argument("--solver", type=str, default="",
                     help="comma-separated SolverConfig overrides for A/Bs, "
                          "e.g. 'schur=wbfbt,mg_pre_smooth=4'")
+    ap.add_argument("--mesh", type=str, default=None, metavar="YxX",
+                    help="measure domain-decomposed over a YxX device mesh "
+                         "(e.g. 2x4) or a device count; explicit-halo "
+                         "operators by default (the measured-faster path)")
+    ap.add_argument("--explicit-halo", dest="explicit_halo",
+                    action="store_true", default=None,
+                    help="force explicit shard_map+ppermute operators under "
+                         "--mesh (the default)")
+    ap.add_argument("--no-explicit-halo", dest="explicit_halo",
+                    action="store_false",
+                    help="keep GSPMD auto-partitioning under --mesh")
+    ap.add_argument("--platform", choices=["cpu"], default=None,
+                    help="force the jax platform to CPU (the TPU plugin "
+                         "registers at interpreter startup, so env vars are "
+                         "too late; goes through jax.config)")
+    ap.add_argument("--devices", type=int, default=0, metavar="N",
+                    help="with --platform cpu: virtual host device count "
+                         "(exercise --mesh without a TPU slice; timings are "
+                         "then NOT the metric)")
     args = ap.parse_args()
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.devices:
+        jax.config.update("jax_num_cpu_devices", args.devices)
 
     from pylamp_tpu.models.benchmarks import fk_stagnant_lid, sticky_air
     from pylamp_tpu.models.config import SolverConfig
@@ -85,7 +124,7 @@ def main():
         overrides[k] = (v.lower() in ("1", "true")) if t is bool else t(v)
 
     if args.benchmark == "sticky_air":
-        # Spec 1024x256 Crameri free-surface relaxation: 1e6 cell-sharp
+        # Spec 1024x256 Crameri free-surface relaxation: 1e4 cell-sharp
         # viscosity contrast, no energy solve.  Uses the preset's tuned
         # solver (round-4 tuning matrix in models/benchmarks.py).
         ny = max(args.nx // 4, 64)
@@ -128,8 +167,32 @@ def main():
     # scaling fit (scripts/measure_baseline.py)
     baseline_sps = 1.0 / baseline_seconds_per_step(
         args.nx * ny, energy=cfg.physics.solve_energy)
+
+    mesh = mesh_tag = shardings = None
+    if args.mesh:
+        from pylamp_tpu.cli import _parse_mesh
+
+        mesh = _parse_mesh(args.mesh)
+        mesh_tag = f"{mesh.shape['y']}x{mesh.shape['x']}"
+        explicit = args.explicit_halo if args.explicit_halo is not None else True
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(
+                cfg.solver, explicit_halo=explicit, mg_coarse_replicate=16))
+        metric = metric.replace(
+            "timesteps/sec",
+            f"timesteps/sec ({mesh_tag} mesh, "
+            f"{'explicit-halo' if explicit else 'gspmd'})")
+
     grid, table, state = build(cfg, dtype=jnp.float32)
-    step = jax.jit(make_step(grid, cfg, table))
+    if mesh is not None:
+        from pylamp_tpu.parallel.mesh import shard_state, state_shardings
+
+        shardings = state_shardings(mesh, state)
+        state = shard_state(state, mesh)
+        step = jax.jit(make_step(grid, cfg, table, mesh=mesh),
+                       in_shardings=(shardings,))
+    else:
+        step = jax.jit(make_step(grid, cfg, table))
 
     # warmup / compile (2 steps: the first post-compile step still pays
     # one-time buffer setup)
@@ -162,7 +225,12 @@ def main():
     if args.scan > 0:
         from pylamp_tpu.models.step import make_multi_step
 
-        multi = jax.jit(make_multi_step(grid, cfg, table, args.scan))
+        if mesh is not None:
+            multi = jax.jit(make_multi_step(grid, cfg, table, args.scan,
+                                            mesh=mesh),
+                            in_shardings=(shardings,))
+        else:
+            multi = jax.jit(make_multi_step(grid, cfg, table, args.scan))
         state_s, _ = multi(state)  # compile + warm
         jax.block_until_ready(state_s.vx)
         t0 = time.perf_counter()
@@ -173,7 +241,7 @@ def main():
     # per-phase breakdown (interp / stokes / energy / advect), separately
     # jitted + synced — informs where the step time goes (SURVEY.md §5)
     phases = {}
-    if args.phase_steps > 0:
+    if args.phase_steps > 0 and mesh is None:  # phased runner is 1-device
         import gc
 
         from pylamp_tpu.models.step import make_phased_runner
@@ -218,6 +286,9 @@ def main():
             "phase_seconds": phases,
         },
     }
+    if mesh_tag is not None:
+        result["detail"]["mesh"] = mesh_tag
+        result["detail"]["explicit_halo"] = bool(cfg.solver.explicit_halo)
     if scan_per_step is not None:
         result["detail"]["seconds_per_step_scanned"] = round(scan_per_step, 3)
     print(json.dumps(result))

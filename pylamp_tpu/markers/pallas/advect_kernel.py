@@ -241,7 +241,7 @@ def advect_block_pallas(xb, yb, vb, vx_ext, vy_ext, dt, grid: StaggeredGrid,
     vxp = prep_v(vx_ext)
     vyp = prep_v(vy_ext)
 
-    in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_spec = pl.BlockSpec(memory_space=pl.ANY)
     dt_arr = jnp.zeros((8, 128), f32)
     dt_arr = dt_arr.at[0, 0].set(jnp.asarray(dt, f32))
     dt_arr = dt_arr.at[0, 1].set(jnp.asarray(row_base, f32))
@@ -332,7 +332,7 @@ def advect_rk4_pallas(bm, vx, vy, dt, grid: StaggeredGrid, bcs: VelocityBCs,
     vxp = prep_v(vx_p, col_offset=0)
     vyp = prep_v(vy_p, col_offset=1)
 
-    in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_spec = pl.BlockSpec(memory_space=pl.ANY)
     dt_arr = jnp.broadcast_to(jnp.asarray(dt, f32), (8, 128))
 
     def run(xs_c, ys_c, vs_c):

@@ -327,7 +327,7 @@ def m2g_fused_block_pallas(xe, ye, Te, me, ve, grid: StaggeredGrid, table,
            for f in ("rho0", "alpha", "T_ref", "eta0", "fk_gamma", "E_act",
                      "k", "cp", "H", "law")}
 
-    in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_spec = pl.BlockSpec(memory_space=pl.ANY)
     out2 = pl.BlockSpec((br, W), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
@@ -445,7 +445,7 @@ def m2g_fused_pallas(bm, grid: StaggeredGrid, table, phys,
            for f in ("rho0", "alpha", "T_ref", "eta0", "fk_gamma", "E_act",
                      "k", "cp", "H", "law")}
 
-    in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_spec = pl.BlockSpec(memory_space=pl.ANY)
     out2 = pl.BlockSpec((br, nx), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
 
     def run(xs_c, ys_c, Ts_c, ms_c, vs_c):

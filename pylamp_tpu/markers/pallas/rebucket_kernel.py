@@ -220,7 +220,7 @@ def rebucket_block_pallas(xe, ye, Te, me, ve, grid: StaggeredGrid,
     bases = jnp.pad(bases, ((0, 0), (0, 126)))  # (8, 128) tile
 
     nb = by // br
-    in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_spec = pl.BlockSpec(memory_space=pl.ANY)
     out3 = pl.BlockSpec((K, br, W), lambda i: (i * 0, i, i * 0),
                         memory_space=pltpu.VMEM)
     out2 = pl.BlockSpec((br, W), lambda i: (i, i * 0), memory_space=pltpu.VMEM)
@@ -333,7 +333,7 @@ def rebucket_pallas(bm, grid: StaggeredGrid, block_rows: int = 8,
     vs = prep(bm.valid, i32)
 
     nb = ny // br
-    in_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_spec = pl.BlockSpec(memory_space=pl.ANY)
     out3 = pl.BlockSpec((K, br, nx), lambda i: (i * 0, i, i * 0),
                         memory_space=pltpu.VMEM)
     out2 = pl.BlockSpec((br, nx), lambda i: (i, i * 0), memory_space=pltpu.VMEM)

@@ -302,7 +302,7 @@ def sticky_air(nx=1024, ny=256, max_steps=50):
         # restart 30 (1.04), pre/post 12 (1.31), cycles=2+inner8 (0.89),
         # inner tol 1e-2 (1.33/197), and a deep-inner wBFBT retry (17.9 s,
         # 1620 iters, DIVERGED — the BFBT commutator argument genuinely
-        # fails on cell-sharp 1e6 jumps, not a tuning artifact).  ~0.84 s
+        # fails on cell-sharp 1e4 jumps, not a tuning artifact).  ~0.84 s
         # is a plateau: every neighbor in the knob space is worse.
         solver=SolverConfig(stokes_tol=1e-8, stokes_restart=60,
                             stokes_maxiter=3000,

@@ -31,8 +31,14 @@ def run_model(
     scan_chunk: int = 0,
     dtype=None,
     step_delay: float = 0.0,
+    mesh=None,
 ):
     """Run the model for cfg.time.max_steps (or until max_time).
+
+    ``mesh``: a ``jax.sharding.Mesh`` for a domain-decomposed multi-chip
+    run — the state is sharded over it (parallel/mesh.py) and the step is
+    compiled mesh-aware (explicit-halo operators / coarse-level
+    replication per SolverConfig).  The CLI builds one from ``--mesh``.
 
     ``on_divergence``: "retry" re-runs a non-converged step once with a
     stronger solver (4x maxiter, 2x restart — SURVEY.md §5 'Failure
@@ -74,16 +80,32 @@ def run_model(
     if resume_from:
         state, _ = load_checkpoint(resume_from, template=state)
 
+    shardings = None
+    mesh_tag = None
+    if mesh is not None:
+        from pylamp_tpu.parallel.mesh import shard_state, state_shardings
+
+        if profile_phases:
+            raise ValueError("profile_phases is single-device only "
+                             "(per-phase host syncs would serialize the mesh)")
+        mesh_tag = f"{mesh.shape['y']}x{mesh.shape['x']}"
+        shardings = state_shardings(mesh, state)
+        state = shard_state(state, mesh)
+
     if scan_chunk > 0:
         return _run_scanned(
             cfg, grid, table, state, out_dir, checkpoint_every, output_every,
             plot_every, echo, callback, on_divergence, scan_chunk,
+            mesh=mesh, shardings=shardings, mesh_tag=mesh_tag,
         )
 
     if profile_phases:
         from pylamp_tpu.models.step import make_phased_runner
 
         step = make_phased_runner(grid, cfg, table)
+    elif mesh is not None:
+        step = jax.jit(make_step(grid, cfg, table, mesh=mesh),
+                       in_shardings=(shardings,))
     else:
         step = jax.jit(make_step(grid, cfg, table))
     strong_step = None  # compiled lazily on first divergence
@@ -111,7 +133,15 @@ def run_model(
                             stokes_restart=2 * cfg.solver.stokes_restart,
                         ),
                     )
-                    strong_step = jax.jit(make_step(grid, strong_cfg, table))
+                    if mesh is not None:
+                        strong_step = jax.jit(
+                            make_step(grid, strong_cfg, table, mesh=mesh),
+                            in_shardings=(shardings,),
+                        )
+                    else:
+                        strong_step = jax.jit(
+                            make_step(grid, strong_cfg, table)
+                        )
                 new_state, diag = strong_step(state)
                 jax.block_until_ready(new_state.vx)
                 diag["retried"] = True
@@ -128,6 +158,8 @@ def run_model(
         state = new_state
 
         rec = {"step": int(state.step), "time": float(state.time), "step_wall_s": step_wall}
+        if mesh_tag is not None:
+            rec["mesh"] = mesh_tag
         rec.update({k: v for k, v in diag.items()})
         logger.log(rec)
         diags.append(diag)
@@ -158,13 +190,19 @@ def run_model(
 
 def _run_scanned(cfg, grid, table, state, out_dir, checkpoint_every,
                  output_every, plot_every, echo, callback, on_divergence,
-                 scan_chunk):
+                 scan_chunk, mesh=None, shardings=None, mesh_tag=None):
     """Chunked lax.scan time loop: one host sync per ``scan_chunk`` steps."""
     import dataclasses
 
     from pylamp_tpu.models.step import make_multi_step
 
-    multi = jax.jit(make_multi_step(grid, cfg, table, scan_chunk))
+    def _jit_multi(c):
+        fn = make_multi_step(grid, c, table, scan_chunk, mesh=mesh)
+        if mesh is not None:
+            return jax.jit(fn, in_shardings=(shardings,))
+        return jax.jit(fn)
+
+    multi = _jit_multi(cfg)
     strong_multi = None
 
     logger = MetricsLogger(
@@ -191,9 +229,7 @@ def _run_scanned(cfg, grid, table, state, out_dir, checkpoint_every,
                         stokes_restart=2 * cfg.solver.stokes_restart,
                     ),
                 )
-                strong_multi = jax.jit(
-                    make_multi_step(grid, strong_cfg, table, scan_chunk)
-                )
+                strong_multi = _jit_multi(strong_cfg)
             t0 = time.perf_counter()
             new_state, chunk_diag = strong_multi(state)
             jax.block_until_ready(new_state.vx)
@@ -219,6 +255,8 @@ def _run_scanned(cfg, grid, table, state, out_dir, checkpoint_every,
                 "time": float(times[i]),
                 "step_wall_s": chunk_wall / scan_chunk,
             }
+            if mesh_tag is not None:
+                rec["mesh"] = mesh_tag
             rec.update(diag)
             logger.log(rec)
             diags.append(diag)

@@ -409,7 +409,7 @@ def chebyshev_smooth_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, br + 2 * h + 2, w128), f32) for _ in range(6)

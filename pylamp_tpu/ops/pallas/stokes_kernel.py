@@ -18,7 +18,7 @@ the host side (cheap concats) so every block's halo read is a static-size
     esp  = (ny+2, nx+1)  eta_s with one zero row at the bottom
     enp  = (ny+2, nx)    eta_n with one zero row top+bottom
 
-Inputs stay in HBM (`pltpu.ANY`) and are DMA'd per block; outputs are
+Inputs stay in HBM (`pl.ANY`) and are DMA'd per block; outputs are
 written through disjoint VMEM row blocks.  float32 only (it runs inside the
 f32 inner solves of the mixed-precision scheme).
 """
@@ -224,10 +224,10 @@ def momentum_apply_pallas(
         num_scalar_prefetch=1,
         grid=(ny // br,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             # NB: `i * 0` keeps the column index i32 (a literal 0 traces as
@@ -445,7 +445,7 @@ def saddle_apply_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ny // br,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=[
             pl.BlockSpec((br, nx + 1), lambda i, *_: (i, i * 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((br, nx), lambda i, *_: (i, i * 0), memory_space=pltpu.VMEM),

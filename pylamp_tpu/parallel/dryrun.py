@@ -101,7 +101,7 @@ def dryrun_multichip(n_devices: int) -> None:
     new, ref_bb, diag = _run_pair(cfg, mesh, jnp.float64, mesh_aware=False)
     _assert_close(new, ref_bb, diag, "gspmd", 1e-8)
     gspmd_iters = int(diag["stokes_iterations"])
-    checks.append("gspmd")
+    checks.append(("gspmd", 1e-8))
 
     # -- (b) explicit halo + marker halo engine + Pallas-in-shard_map ------
     # f32 state so the per-shard marker kernels (m2g/advect/rebucket) are
@@ -117,7 +117,7 @@ def dryrun_multichip(n_devices: int) -> None:
     )
     new, ref, diag = _run_pair(cfg, mesh, jnp.float32, mesh_aware=True)
     _assert_close(new, ref, diag, "explicit_halo+pallas", 2e-4)
-    checks.append("explicit_halo+pallas")
+    checks.append(("explicit_halo+pallas", 2e-4))
 
     # -- (c) MG coarse-level replication ------------------------------------
     cfg = blankenbach_case1a(nx=32, ny=32, max_steps=1)
@@ -129,17 +129,19 @@ def dryrun_multichip(n_devices: int) -> None:
     new, ref, diag = _run_pair(cfg, mesh, jnp.float64, mesh_aware=True,
                                ref_state=ref_bb)
     _assert_close(new, ref, diag, "coarse_replicate", 1e-8)
-    checks.append("coarse_replicate")
+    checks.append(("coarse_replicate", 1e-8))
 
     # -- (d) periodic side walls (wrapped stencils + markers, GSPMD) --------
     cfg = falling_block_periodic(nx=32, ny=32, max_steps=1)
     cfg = dataclasses.replace(cfg, solver=solver64)
     new, ref, diag = _run_pair(cfg, mesh, jnp.float64, mesh_aware=False)
     _assert_close(new, ref, diag, "periodic", 1e-8)
-    checks.append("periodic")
+    checks.append(("periodic", 1e-8))
 
+    detail = ", ".join(f"{name}@{tol:g}" for name, tol in checks)
     print(
         f"dryrun_multichip OK: mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
-        f"stokes iters {gspmd_iters}, sharded == single-device to 1e-8; "
-        f"sub-checks OK: {', '.join(checks)}"
+        f"stokes iters {gspmd_iters}, each sub-check == single-device to its "
+        f"stated tolerance (f64 paths 1e-8; the f32 explicit-halo+pallas path "
+        f"at f32 solver tolerance): {detail}"
     )

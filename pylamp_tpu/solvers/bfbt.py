@@ -3,7 +3,7 @@ contrast.
 
 Round-2 measurement (VALIDATION.md, sticky-air): with the velocity block
 solved EXACTLY, the diag-Schur-preconditioned saddle solve still needs
->600 Krylov iterations at sharp 1e6 viscosity contrast — the pressure
+>600 Krylov iterations at sharp 1e4 viscosity contrast — the pressure
 Schur surrogate ``z_p = -(eta_n/kcont) r_c`` (a local inverse-viscosity
 mass matrix) is the sticky-air bottleneck, not the velocity multigrid.
 The known contrast-robust replacement is the *weighted BFBT* approximation

@@ -86,9 +86,9 @@ def main(nx=512, steps=8, out_dir="validation"):
         "max_rel_state_diff": max(errs.values()),
         "device": str(jax.devices()[0]),
     }
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "ab_periodic.json"), "w") as fh:
-        json.dump(summary, fh, indent=1)
+    from pylamp_tpu.utils.artifacts import write_json_artifact
+
+    write_json_artifact(os.path.join(out_dir, "ab_periodic.json"), summary)
     print(json.dumps(summary), flush=True)
 
 

@@ -104,9 +104,9 @@ def main():
         "cpu": os.popen(
             "grep -m1 'model name' /proc/cpuinfo 2>/dev/null").read().strip(),
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as fh:
-        json.dump(result, fh, indent=1)
+    from pylamp_tpu.utils.artifacts import write_json_artifact
+
+    write_json_artifact(args.out, result)
     print(json.dumps(result["fit"]))
     print(json.dumps(result["extrapolated_1024"]))
 

@@ -2,6 +2,9 @@
 tuning): time M(r) for hierarchies truncated at `levels` = 3..full.  The
 increments isolate what the coarse (dispatch-bound) levels cost per
 application, i.e. the prize of a fused coarse-V-cycle kernel."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
+
 import time
 
 import jax

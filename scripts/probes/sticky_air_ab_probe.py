@@ -3,6 +3,9 @@
 Builds 3 steps of the production preset, extracts the interpolated fields,
 then times solve_stokes_mixed under variant solver settings (interleaved
 repeats to counter chip time-sharing)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", ".."))
+
 import sys
 import time
 from functools import partial
@@ -80,6 +83,22 @@ VARIANTS = {
                     dict(restart=60)),
     "restart30":   (dict(BASE), dict(restart=30)),
     "wbfbt_ii16":  (dict(BASE, schur="wbfbt"), dict(restart=60)),
+    # round-5: augmented-Lagrangian grad-div (solvers/al.py) — the Schur
+    # remedy the round-4 verdict named; gamma sweep + inner-depth interplay
+    "al_g01":      (dict(BASE, al_gamma=0.1),
+                    dict(restart=60, al_gamma=0.1)),
+    "al_g03":      (dict(BASE, al_gamma=0.3),
+                    dict(restart=60, al_gamma=0.3)),
+    "al_g1":       (dict(BASE, al_gamma=1.0),
+                    dict(restart=60, al_gamma=1.0)),
+    "al_g3":       (dict(BASE, al_gamma=3.0),
+                    dict(restart=60, al_gamma=3.0)),
+    "al_g1_ii24":  (dict(BASE, al_gamma=1.0, velocity_inner_iters=24,
+                         velocity_inner_tol=1e-3),
+                    dict(restart=60, al_gamma=1.0)),
+    "al_g1_ii8":   (dict(BASE, al_gamma=1.0, velocity_inner_iters=8,
+                         velocity_inner_tol=1e-2),
+                    dict(restart=60, al_gamma=1.0)),
 }
 names = sys.argv[1:] or list(VARIANTS)
 

@@ -130,8 +130,9 @@ def main(nx=1024, ny=256, n_steps=80, out_dir="validation"):
         "seconds_per_step": round(wall / max(n_steps - 1, 1), 3),
         "device": str(jax.devices()[0]),
     }
-    with open(os.path.join(out_dir, f"{tag}.json"), "w") as fh:
-        json.dump(summary, fh, indent=1)
+    from pylamp_tpu.utils.artifacts import write_json_artifact
+
+    write_json_artifact(os.path.join(out_dir, f"{tag}.json"), summary)
     print(json.dumps(summary), flush=True)
     print(
         f"FINAL {nx}x{ny}: amplitude {amps[0]/1e3:.2f} -> {amps[-1]/1e3:.3f} km, "

@@ -105,8 +105,9 @@ def main(nx=512, t_end=400.0, out_dir="validation"):
         "seconds_per_step": round(wall / max(n, 1), 4),
         "device": str(jax.devices()[0]),
     }
-    with open(os.path.join(out_dir, f"van_keken_{nx}.json"), "w") as fh:
-        json.dump(summary, fh, indent=1)
+    from pylamp_tpu.utils.artifacts import write_json_artifact
+
+    write_json_artifact(os.path.join(out_dir, f"van_keken_{nx}.json"), summary)
     print(json.dumps(summary), flush=True)
 
     try:

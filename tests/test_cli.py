@@ -65,3 +65,53 @@ def test_run_model_default_dtype_tracks_x64(monkeypatch):
     except RuntimeError:
         pass
     assert seen["dtype"] == jnp.float64
+
+
+def test_mesh_flag_wires_mesh_and_explicit_halo(monkeypatch):
+    """--mesh builds a jax Mesh, defaults explicit_halo ON (the measured
+    2.84x-faster path) and coarse replication to 16 (round-4 verdict item
+    2: the multi-chip production surface)."""
+    cap = _run_cli(monkeypatch, ["run", "falling_block", "--nx", "16",
+                                 "--steps", "1", "--mesh", "2x4"])
+    mesh = cap["mesh"]
+    assert mesh is not None and dict(
+        zip(mesh.axis_names, mesh.devices.shape)) == {"y": 2, "x": 4}
+    assert cap["cfg"].solver.explicit_halo is True
+    assert cap["cfg"].solver.mg_coarse_replicate == 16
+
+
+def test_mesh_flag_gspmd_opt_out(monkeypatch):
+    cap = _run_cli(monkeypatch, ["run", "falling_block", "--nx", "16",
+                                 "--steps", "1", "--mesh", "8",
+                                 "--no-explicit-halo"])
+    assert cap["mesh"] is not None
+    assert cap["cfg"].solver.explicit_halo is False
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_cli_mesh_run_end_to_end(tmp_path):
+    """`run blankenbach --mesh 2x4` on the 8-virtual-device CPU session:
+    the full production surface — sharded state, explicit-halo step,
+    per-step metrics carrying the mesh tag."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    out = tmp_path / "mesh_run"
+    r = subprocess.run(
+        [_sys.executable, "-m", "pylamp_tpu", "run", "blankenbach",
+         "--nx", "32", "--steps", "2", "--mesh", "2x4", "--explicit-halo",
+         "--f32", "--platform", "cpu", "--devices", "8",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(l) for l in
+             (out / "metrics.jsonl").read_text().splitlines()]
+    assert len(lines) == 2
+    for rec in lines:
+        assert rec["mesh"] == "2x4"
+        assert rec["stokes_converged"] == 1.0
