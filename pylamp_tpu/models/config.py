@@ -92,6 +92,13 @@ class SolverConfig:
     # solves extra per preconditioner application.
     schur: str = "mass"
     schur_poisson_iters: int = 3
+    # > 0: augmented-Lagrangian grad-div row operation (solvers/al.py) —
+    # momentum rows += gamma * D^T(eta_n * div u), Schur surrogate scaled
+    # by (1 + gamma).  The contrast-robust Schur remedy for cell-sharp
+    # viscosity interfaces (sticky air); pair with
+    # mg_velocity_inner_iters > 0 (the inner Krylov is what targets the
+    # augmented velocity block).  Uniform grids only.
+    stokes_al_gamma: float = 0.0
     # > 0: replace the velocity block's single V-cycle with a loose inner
     # FGMRES solve (V-cycle preconditioned, at most this many iterations)
     # — the measured fix for sharp-interface extreme contrast, where one

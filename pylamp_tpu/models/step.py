@@ -186,10 +186,22 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             velocity_inner_iters=solver.mg_velocity_inner_iters,
             velocity_inner_tol=solver.mg_velocity_inner_tol,
             eta_cap=solver.mg_eta_cap,
+            pallas_interpret=solver.pallas_interpret,
+            al_gamma=solver.stokes_al_gamma,
         )
     elif solver.preconditioner == "vanka":
         from pylamp_tpu.solvers.vanka import make_vanka_mg_preconditioner
 
+        if solver.mg_semicoarsen > 0:
+            # the Vanka hierarchy has no coarsening_plan plumbing: a
+            # stretched/anisotropic grid would silently full-coarsen and
+            # lose the anisotropy remedy (round-3 advisor finding) — fail
+            # at config time instead
+            raise ValueError(
+                "preconditioner='vanka' does not support mg_semicoarsen "
+                "(full coarsening only); use preconditioner='mg' with "
+                "mg_semicoarsen, or mg_smoother='line' for anisotropic cells"
+            )
         make_precond = partial(
             make_vanka_mg_preconditioner,
             levels=solver.mg_levels,
@@ -383,8 +395,14 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
                 x0=(state.vx, state.vy, state.p),
                 make_preconditioner=mk,
                 halo_mesh=halo_mesh,
-                use_pallas_apply=(solver.use_pallas_apply and mesh is None
-                                  and not batched),
+                # on a mesh the explicit-halo shard bodies dispatch the
+                # per-shard block kernel (block_stencil_kernel); GSPMD
+                # (halo_mesh None, mesh set) stays jnp — pallas_call has
+                # no GSPMD partitioning rule
+                use_pallas_apply=(solver.use_pallas_apply and not batched
+                                  and (mesh is None or halo_mesh is not None)),
+                pallas_interpret=solver.pallas_interpret,
+                al_gamma=solver.stokes_al_gamma,
             )
         else:
             sol = solve_stokes(

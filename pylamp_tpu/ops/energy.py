@@ -108,7 +108,7 @@ def energy_operator(
         return energy_operator_stretched(
             T, k, rhocp_over_dt, grid, bcs, kbnd=kbnd, k_avg=k_avg
         )
-    if halo_mesh is not None and not bcs.periodic_x:
+    if halo_mesh is not None:
         from pylamp_tpu.parallel.halo_ops import energy_operator_halo, halo_eligible
 
         if halo_eligible(grid, halo_mesh):

@@ -79,6 +79,8 @@ def stokes_operator(
     kcont: float = 1.0,
     kbnd: float = 1.0,
     halo_mesh=None,
+    halo_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Apply the Stokes operator.  Returns (rx, ry, rc) with the shapes of
     (vx, vy, p).
@@ -86,20 +88,23 @@ def stokes_operator(
     ``halo_mesh``: a jax.sharding.Mesh — route the application through the
     explicit shard_map + ppermute halo-exchange path (parallel/halo_ops.py)
     instead of letting GSPMD partition this stencil.  Falls back to the
-    GSPMD path on grids that don't decompose evenly over the mesh."""
+    GSPMD path on grids that don't decompose evenly over the mesh.
+    ``halo_pallas``: under ``halo_mesh``, run each shard body's stencil as
+    a fused per-shard Pallas pass (ops/pallas/block_stencil_kernel.py)."""
     if not grid.uniform:
         from pylamp_tpu.ops.stretched import stokes_operator_stretched
 
         return stokes_operator_stretched(
             vx, vy, p, eta_s, eta_n, grid, bcs, kcont=kcont, kbnd=kbnd
         )
-    if halo_mesh is not None and not bcs.periodic_x:
+    if halo_mesh is not None:
         from pylamp_tpu.parallel.halo_ops import halo_eligible, stokes_operator_halo
 
         if halo_eligible(grid, halo_mesh):
             return stokes_operator_halo(
                 vx, vy, p, eta_s, eta_n, grid, bcs, halo_mesh,
-                kcont=kcont, kbnd=kbnd,
+                kcont=kcont, kbnd=kbnd, use_pallas=halo_pallas,
+                interpret=pallas_interpret,
             )
     dx, dy = grid.dx, grid.dy
 

@@ -247,16 +247,21 @@ def _pallas_eligible(grid: StaggeredGrid, dtype) -> bool:
 
 
 def momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd, use_pallas=False,
-                   eta_prepped=None, halo_mesh=None):
+                   eta_prepped=None, halo_mesh=None, pallas_interpret=False):
     """Momentum-block application; dispatches to the fused Pallas kernel on
     eligible TPU levels (ops/pallas/stokes_kernel.py).  ``eta_prepped``
     carries prep_eta_pallas output for solves that apply the operator many
     times with frozen viscosity.  ``halo_mesh`` routes the apply through the
-    explicit shard_map halo path (parallel/halo_ops.py; wins over Pallas —
-    pallas_call has no GSPMD partitioning rule)."""
+    explicit shard_map halo path (parallel/halo_ops.py); with ``use_pallas``
+    the shard bodies run the fused per-shard stencil kernel
+    (ops/pallas/block_stencil_kernel.py) instead of jnp."""
     if halo_mesh is not None:
-        return _momentum_apply(vx, vy, eta_s, eta_n, grid, bcs, kbnd,
-                               halo_mesh=halo_mesh)
+        rx, ry, _ = stokes_operator(
+            vx, vy, jnp.zeros(grid.shape_center, vx.dtype), eta_s, eta_n,
+            grid, bcs, kcont=1.0, kbnd=kbnd, halo_mesh=halo_mesh,
+            halo_pallas=use_pallas, pallas_interpret=pallas_interpret,
+        )
+        return rx, ry
     if use_pallas and _pallas_eligible(grid, vx.dtype):
         from pylamp_tpu.ops.pallas.stokes_kernel import momentum_apply_pallas
 
@@ -487,6 +492,7 @@ def make_velocity_mg(
     semicoarsen: float = 0.0,
     lam_max=None,
     eta_cap: float = 0.0,
+    pallas_interpret: bool = False,
 ):
     """Returns mg(rx, ry) -> (zx, zy): `cycles` handled by the caller.
 
@@ -642,7 +648,8 @@ def make_velocity_mg(
                 ax, ay = momentum_apply(vx, vy, es, en, grids[l], bcs, kbnds[l],
                                         use_pallas=use_pallas,
                                         eta_prepped=preps[l],
-                                        halo_mesh=hmesh[l])
+                                        halo_mesh=hmesh[l],
+                                        pallas_interpret=pallas_interpret)
                 return ax / dvx, ay / dvy
 
             lam = _power_lambda_max(
@@ -659,6 +666,31 @@ def make_velocity_mg(
     # Levels whose halo depth allows iters+1 applications also EMIT the
     # post-sweep residual from the kernel (emit_residual), saving the
     # V-cycle's separate momentum_apply HBM pass per level per cycle.
+    # fused PER-SHARD smoother under the explicit-halo engine (round-4
+    # verdict item 1: parallel/halo_smoother.py) — one deep-halo exchange
+    # per sweep, all iterations VMEM-resident per shard.  Frames built once
+    # per level per solve; per-call iters must fit the frame's halo depth.
+    halo_sm_preps = [None] * nlev  # (frames, h, can_emit)
+    if use_pallas_smoother and smoother == "chebyshev" and halo_mesh is not None:
+        from pylamp_tpu.parallel.halo_smoother import (
+            halo_smoother_eligible,
+            prep_halo_smoother,
+        )
+
+        deg = max(pre_smooth, post_smooth)
+        for l, ((es, en), g) in enumerate(zip(etas, grids)):
+            if hmesh[l] is None:
+                continue
+            if halo_smoother_eligible(g, hmesh[l], bcs, dtype, deg,
+                                      emit_residual=True,
+                                      interpret=pallas_interpret):
+                halo_sm_preps[l] = (
+                    prep_halo_smoother(es, en, g, hmesh[l], deg + 1), True)
+            elif halo_smoother_eligible(g, hmesh[l], bcs, dtype, deg,
+                                        interpret=pallas_interpret):
+                halo_sm_preps[l] = (
+                    prep_halo_smoother(es, en, g, hmesh[l], deg), False)
+
     smoother_preps = [None] * nlev
     smoother_emit = [False] * nlev
     if use_pallas_smoother and smoother == "chebyshev" and halo_mesh is None:
@@ -687,6 +719,30 @@ def make_velocity_mg(
         g = grids[l]
         kb = kbnds[l]
 
+        if halo_sm_preps[l] is not None:
+            frames, can_emit = halo_sm_preps[l]
+            hh = frames[2]
+            fuse_emit = emit_residual and can_emit
+            if 1 <= iters <= (hh - 1 if fuse_emit else hh):
+                from pylamp_tpu.parallel.halo_smoother import (
+                    chebyshev_smooth_halo,
+                )
+
+                out = chebyshev_smooth_halo(
+                    ex, ey, rx, ry, es, en, g, bcs, kb, lam_max[l], iters,
+                    hmesh[l], zero_init=zero_init, emit_residual=fuse_emit,
+                    interpret=pallas_interpret, prepped=frames,
+                )
+                if fuse_emit or not emit_residual:
+                    return out
+                ex, ey = out
+                ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
+                                        use_pallas=use_pallas,
+                                        eta_prepped=preps[l],
+                                        halo_mesh=hmesh[l],
+                                        pallas_interpret=pallas_interpret)
+                return ex, ey, rx - ax, ry - ay
+
         if smoother_preps[l] is not None and 1 <= iters <= (
             smoother_preps[l][5] - (1 if emit_residual and smoother_emit[l] else 0)
         ):
@@ -708,7 +764,8 @@ def make_velocity_mg(
                 ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
                                         use_pallas=use_pallas,
                                         eta_prepped=preps[l],
-                                        halo_mesh=hmesh[l])
+                                        halo_mesh=hmesh[l],
+                                        pallas_interpret=pallas_interpret)
                 return ex, ey, rx - ax, ry - ay
             return ex, ey
 
@@ -720,7 +777,8 @@ def make_velocity_mg(
             ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
                                     use_pallas=use_pallas,
                                     eta_prepped=preps[l],
-                                    halo_mesh=hmesh[l])
+                                    halo_mesh=hmesh[l],
+                                        pallas_interpret=pallas_interpret)
             return ex, ey, rx - ax, ry - ay
 
         if line_coeffs is not None:
@@ -736,7 +794,8 @@ def make_velocity_mg(
                     axx, ayy = momentum_apply(ex, ey, es, en, g, bcs, kb,
                                               use_pallas=use_pallas,
                                               eta_prepped=preps[l],
-                                              halo_mesh=hmesh[l])
+                                              halo_mesh=hmesh[l],
+                                        pallas_interpret=pallas_interpret)
                     ex = ex + omega * tridiag_pcr(svx, dvx, pvx, rx - axx,
                                                   axis=ax)
                     ey = ey + omega * tridiag_pcr(svy, dvy, pvy, ry - ayy,
@@ -754,7 +813,8 @@ def make_velocity_mg(
                 ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
                                         use_pallas=use_pallas,
                                         eta_prepped=preps[l],
-                                        halo_mesh=hmesh[l])
+                                        halo_mesh=hmesh[l],
+                                        pallas_interpret=pallas_interpret)
                 return ex + omega * (rx - ax) / dvx, ey + omega * (ry - ay) / dvy
 
             return _finish(*_lax.fori_loop(0, iters, jbody, (ex, ey)))
@@ -777,7 +837,8 @@ def make_velocity_mg(
             ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
                                     use_pallas=use_pallas,
                                     eta_prepped=preps[l],
-                                    halo_mesh=hmesh[l])
+                                    halo_mesh=hmesh[l],
+                                        pallas_interpret=pallas_interpret)
             dx_ = (rx - ax) / dvx / theta
             dy_ = (ry - ay) / dvy / theta
         ex = ex + dx_
@@ -790,7 +851,8 @@ def make_velocity_mg(
             ax, ay = momentum_apply(ex, ey, es, en, g, bcs, kb,
                                     use_pallas=use_pallas,
                                     eta_prepped=preps[l],
-                                    halo_mesh=hmesh[l])
+                                    halo_mesh=hmesh[l],
+                                        pallas_interpret=pallas_interpret)
             dx_n = rho * ro * dx_ + (2.0 * rho / delta) * (rx - ax) / dvx
             dy_n = rho * ro * dy_ + (2.0 * rho / delta) * (ry - ay) / dvy
             return ex + dx_n, ey + dy_n, dx_n, dy_n, rho
@@ -800,10 +862,40 @@ def make_velocity_mg(
         )
         return _finish(ex, ey)
 
+    # fused coarse sub-V-cycle (ops/pallas/coarse_vcycle_kernel.py):
+    # every level below the fused-smoother cutoff in ONE pallas_call —
+    # the roofline's dispatch-bound tail (round-4 verdict item 4).
+    fused_coarse = None
+    if (use_pallas_smoother and mesh is None and halo_mesh is None
+            and smoother == "chebyshev" and len(lam_max) == nlev):
+        try:
+            platform = __import__("jax").devices()[0].platform
+        except Exception:  # pragma: no cover
+            platform = "cpu"
+        if pallas_interpret or platform not in ("cpu", "gpu"):
+            from pylamp_tpu.ops.pallas.coarse_vcycle_kernel import (
+                CoarseVcyclePrep,
+                coarse_fuse_start,
+            )
+
+            fs = coarse_fuse_start(grids, plan, bcs, dtype, smoother,
+                                   scaled_transfers, ls_damp)
+            if fs is not None:
+                fused_coarse = (fs, CoarseVcyclePrep(
+                    grids[fs:], etas[fs:], kbnds[fs:], lam_max[fs:], bcs,
+                    pre_smooth, post_smooth, coarse_iters))
+
     def vcycle(l, rx, ry, emit=False):
         """``emit``: also return (rx - A ex, ry - A ey) of the cycle's
         result (for multi-cycle callers; rides the post-smooth's fused
         residual where the level supports it)."""
+        if fused_coarse is not None and l == fused_coarse[0] and not emit:
+            from pylamp_tpu.ops.pallas.coarse_vcycle_kernel import (
+                coarse_vcycle_pallas,
+            )
+
+            return coarse_vcycle_pallas(rx, ry, fused_coarse[1],
+                                        interpret=pallas_interpret)
         if l == nlev - 1:
             ex = jnp.zeros_like(rx)
             ey = jnp.zeros_like(ry)
@@ -835,7 +927,8 @@ def make_velocity_mg(
             aex, aey = momentum_apply(pex, pey, *etas[l], grids[l], bcs,
                                       kbnds[l], use_pallas=use_pallas,
                                       eta_prepped=preps[l],
-                                      halo_mesh=hmesh[l])
+                                      halo_mesh=hmesh[l],
+                                        pallas_interpret=pallas_interpret)
             # alpha = <r, Ae>/<Ae, Ae>, computed on Ae/s with
             # s = max|Ae| so the squared sums cannot overflow f32 (momentum
             # entries reach ~1e15 at mantle viscosities; their squares do
@@ -889,6 +982,8 @@ def make_mg_preconditioner(
     velocity_inner_tol: float = 3e-2,
     velocity_inner_method: str = "fgmres",
     eta_cap: float = 0.0,
+    pallas_interpret: bool = False,
+    al_gamma: float = 0.0,
 ):
     """Block upper-triangular preconditioner for the full Stokes system.
 
@@ -919,11 +1014,15 @@ def make_mg_preconditioner(
         eta_s, eta_n, grid, bcs, kbnd,
         levels=levels, pre_smooth=pre_smooth, post_smooth=post_smooth, omega=omega,
         smoother=smoother, use_pallas=use_pallas,
-        # no GSPMD/batching rule for pallas_call: sharded solves take jnp
-        use_pallas_smoother=use_pallas_smoother and mesh is None,
+        # no GSPMD/batching rule for pallas_call: GSPMD-sharded solves take
+        # jnp; under the explicit-halo engine the fused smoother runs PER
+        # SHARD inside shard_map (parallel/halo_smoother.py)
+        use_pallas_smoother=use_pallas_smoother
+        and (mesh is None or halo_mesh is not None),
         scaled_transfers=scaled_transfers, ls_damp=ls_damp,
         mesh=mesh, coarse_replicate=coarse_replicate, halo_mesh=halo_mesh,
         semicoarsen=semicoarsen, lam_max=lam_max, eta_cap=eta_cap,
+        pallas_interpret=pallas_interpret,
     )
     dtype = eta_n.dtype
 
@@ -942,10 +1041,21 @@ def make_mg_preconditioner(
             poisson_iters=schur_poisson_iters,
         )
     elif schur == "mass":
+        # with the augmented-Lagrangian row op (solvers/al.py) the Schur
+        # surrogate gains the grad-div contribution: S_gamma^-1 ~
+        # -(1 + gamma) eta_n / kcont (contrast-robust for moderate gamma)
+        _sschur = 1.0 + al_gamma
+
         def S_inv(rc):
-            return -(eta_n / kcont) * rc
+            return -_sschur * (eta_n / kcont) * rc
     else:
         raise ValueError(f"unknown schur surrogate {schur!r}")
+
+    gd = None
+    if al_gamma > 0.0:
+        from pylamp_tpu.solvers.al import make_grad_div
+
+        gd = make_grad_div(eta_n, grid, bcs, al_gamma, dtype)
 
     if velocity_inner_iters > 0:
         from pylamp_tpu.solvers.krylov import fcg as _fcg
@@ -953,9 +1063,18 @@ def make_mg_preconditioner(
 
         def vel_solve(rvx, rvy):
             def vop(u):
-                return momentum_apply(u[0], u[1], eta_s, eta_n, grid, bcs,
-                                      kbnd, use_pallas=use_pallas,
-                                      halo_mesh=halo_mesh)
+                ax, ay = momentum_apply(u[0], u[1], eta_s, eta_n, grid, bcs,
+                                        kbnd, use_pallas=use_pallas,
+                                        halo_mesh=halo_mesh,
+                                        pallas_interpret=pallas_interpret)
+                if gd is not None:
+                    # inner Krylov targets the AUGMENTED velocity block
+                    # A + gamma D^T(eta_n D), preconditioned by the
+                    # un-augmented V-cycle (robust for moderate gamma)
+                    tx, ty = gd(u[0], u[1])
+                    ax = ax + tx
+                    ay = ay + ty
+                return ax, ay
 
             if velocity_inner_method == "fcg":
                 # the momentum block is SPD and the V-cycle approximately

@@ -178,6 +178,8 @@ def solve_stokes_mixed(
     make_preconditioner: Callable | None = None,
     halo_mesh=None,
     use_pallas_apply: bool = False,
+    pallas_interpret: bool = False,
+    al_gamma: float = 0.0,
 ) -> StokesSolution:
     """Mixed-precision Stokes solve: f32 FGMRES+MG inner solves inside f64
     iterative refinement (solvers/refine.py) — reaches 1e-8 relative
@@ -185,7 +187,12 @@ def solve_stokes_mixed(
 
     Inputs may be f32 or f64; the system is DEFINED by the f64 casts (the
     same stencil), and the reported residual is measured in f64.
-    ``maxiter`` bounds each inner solve."""
+    ``maxiter`` bounds each inner solve.
+
+    ``al_gamma`` > 0: augmented-Lagrangian row operation (solvers/al.py) —
+    same solution, contrast-robust Schur surrogate; pair with a
+    make_preconditioner built with the same al_gamma.  The residual is then
+    measured on the (equivalent) augmented system."""
     from pylamp_tpu.solvers.refine import refine
 
     f64 = jnp.float64
@@ -209,13 +216,36 @@ def solve_stokes_mixed(
     eta_s32, eta_n32 = eta_s64.astype(f32), eta_n64.astype(f32)
     kcont32, kbnd32 = kcont.astype(f32), kbnd.astype(f32)
 
+    if al_gamma > 0.0:
+        from pylamp_tpu.solvers.al import (
+            augment_rhs,
+            augment_saddle_op,
+            make_grad_div,
+        )
+
+        op64 = augment_saddle_op(
+            op64, make_grad_div(eta_n64, grid, bcs, al_gamma, f64))
+        b64 = augment_rhs(b64, eta_n64, grid, bcs, al_gamma, kcont, f64)
+        _gd32 = make_grad_div(eta_n32, grid, bcs, al_gamma, f32)
+
     _pallas_op = False
     if use_pallas_apply and halo_mesh is None:
         from pylamp_tpu.ops.pallas.stokes_kernel import saddle_apply_eligible
 
         _pallas_op = saddle_apply_eligible(grid, f32, bcs)
 
-    if _pallas_op:
+    if halo_mesh is not None:
+        # per-shard fused stencil inside the explicit-halo shard_map bodies
+        # (block_stencil_kernel; gated by its own per-block eligibility)
+        def op32(u):
+            vx, vy, p = u
+            return stokes_operator(
+                vx, vy, p, eta_s32, eta_n32, grid, bcs, kcont=kcont32,
+                kbnd=kbnd32, halo_mesh=halo_mesh,
+                halo_pallas=use_pallas_apply,
+                pallas_interpret=pallas_interpret,
+            )
+    elif _pallas_op:
         # fused full-saddle Pallas kernel for the FGMRES outer applies: the
         # jnp stencil lowers to many small kernels (1.45 ms vs the ~0.05 ms
         # HBM bound at 1024^2 on v5e); viscosity pads are hoisted per solve
@@ -238,6 +268,11 @@ def solve_stokes_mixed(
                 vx, vy, p, eta_s32, eta_n32, grid, bcs, kcont=kcont32,
                 kbnd=kbnd32, halo_mesh=halo_mesh,
             )
+
+    if al_gamma > 0.0:
+        from pylamp_tpu.solvers.al import augment_saddle_op
+
+        op32 = augment_saddle_op(op32, _gd32)
 
     mk = make_preconditioner or make_block_jacobi_preconditioner
     M32 = mk(eta_s32, eta_n32, grid, kcont32, kbnd32, bcs=bcs)

@@ -70,6 +70,18 @@ def main(nx=64, max_time=0.25, dtype=jnp.float32):
     print(f"FINAL nx={nx} Nu={nu:.4f} (ref {BLANKENBACH_1A_NU}, err {err_nu:.2%}) "
           f"vrms={vr:.3f} (ref {BLANKENBACH_1A_VRMS}, err {err_vr:.2%}) "
           f"steps={n} wall={time.time()-t0:.0f}s", flush=True)
+
+    from pylamp_tpu.utils.artifacts import write_json_artifact
+
+    write_json_artifact("validation/blankenbach_1a.json", {
+        "config": "BASELINE config 2 (Blankenbach 1989 case 1a, Ra=1e4)",
+        "nx": nx, "steps": n, "time_nondim": float(state.time),
+        "nu_top": nu, "nu_ref": BLANKENBACH_1A_NU, "nu_rel_err": err_nu,
+        "vrms": vr, "vrms_ref": BLANKENBACH_1A_VRMS, "vrms_rel_err": err_vr,
+        "wall_s": round(time.time() - t0, 1),
+        "device": str(jax.devices()[0]),
+    })
+    print("wrote validation/blankenbach_1a.json", flush=True)
     return nu, vr
 
 

@@ -71,6 +71,22 @@ def main(nx=64, max_time=0.2):
         flush=True,
     )
 
+    from pylamp_tpu.utils.artifacts import write_json_artifact
+
+    write_json_artifact("validation/blankenbach_2a.json", {
+        "config": "Blankenbach 1989 case 2a (T-dep viscosity, Ra0=1e4, "
+                  "contrast 1e3)",
+        "nx": nx, "steps": n, "time_nondim": float(state.time),
+        "nu_top": nu, "nu_bottom": nub,
+        "nu_ref": BB2A_NU, "nu_rel_err": abs(nu - BB2A_NU) / BB2A_NU,
+        "nu_top_bottom_gap": abs(nu - nub) / BB2A_NU,
+        "vrms": vr, "vrms_ref": BB2A_VRMS,
+        "vrms_rel_err": abs(vr - BB2A_VRMS) / BB2A_VRMS,
+        "wall_s": round(time.time() - t0, 1),
+        "device": str(jax.devices()[0]),
+    })
+    print("wrote validation/blankenbach_2a.json", flush=True)
+
 
 if __name__ == "__main__":
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 64

@@ -67,6 +67,20 @@ def main(nx=64, max_time=2.0):
         flush=True,
     )
 
+    from pylamp_tpu.utils.artifacts import write_json_artifact
+
+    write_json_artifact("validation/fk_lid.json", {
+        "config": "BASELINE config 3 (Frank-Kamenetskii stagnant lid, "
+                  "1e4 viscosity contrast)",
+        "nx": nx, "steps": n, "time_nondim": float(state.time),
+        "nu_top": nu, "vrms": vr, "v_surf_rms": v_surf,
+        "mobility": mobility,
+        "stagnant_lid": bool(mobility < 0.05),
+        "wall_s": round(time.time() - t0, 1),
+        "device": str(jax.devices()[0]),
+    })
+    print("wrote validation/fk_lid.json", flush=True)
+
 
 if __name__ == "__main__":
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 64
