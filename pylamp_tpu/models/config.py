@@ -132,6 +132,12 @@ class SolverConfig:
     # deep halos — on by default (eligibility-gated: f32, TPU, iters <= 3,
     # single-chip); the mesh/vmap paths fall back to the jnp smoother.
     use_pallas_smoother: bool = True
+    # Fused coarse sub-V-cycle kernel (ops/pallas/coarse_vcycle_kernel.py):
+    # every MG level below the fused-smoother cutoff in ONE pallas_call —
+    # kills the dispatch-bound coarse-level tail of the V-cycle (~0.4 ms
+    # per smoother call on v5e).  Single-chip, uniform, full-coarsening,
+    # non-periodic hierarchies only; ineligible shapes fall back.
+    use_pallas_coarse: bool = True
     # Fused marker->grid transfer kernel (markers/pallas/m2g_kernel.py):
     # every interp/energy stream in one VMEM pass over the marker state —
     # measured 16x vs the XLA bucketed transfers at 1024^2xK18 on v5e.

@@ -175,6 +175,7 @@ def make_step_phases(grid: StaggeredGrid, cfg: ModelConfig, table: MaterialTable
             omega=solver.mg_omega,
             use_pallas=solver.use_pallas,
             use_pallas_smoother=(solver.use_pallas_smoother and not batched),
+            use_pallas_coarse=solver.use_pallas_coarse,
             scaled_transfers=solver.mg_scaled_transfers,
             ls_damp=solver.mg_ls_damp,
             semicoarsen=solver.mg_semicoarsen,

@@ -171,7 +171,10 @@ def frame_cheb_sweep(ex, ey, rx, ry, es, en, *, by, bx, h, dx, dy, kb,
             dys = c1 * dys + c2 * (ry - ay) / dvy
             return ex + dxs, ey + dys, dxs, dys
 
-        ex, ey, _, _ = lax.fori_loop(0, iters, body,
+        # i32 bounds: under x64 a Python-int bound makes the loop index
+        # i64, and mixing it into SMEM index arithmetic fails Mosaic
+        # verification ('arith.muli' requires same type).
+        ex, ey, _, _ = lax.fori_loop(jnp.int32(0), jnp.int32(iters), body,
                                      (ex, ey, dxs, dys))
     else:
         dxs = jnp.zeros_like(ex)

@@ -171,7 +171,10 @@ def coarse_vcycle_pallas(rx, ry, prep: CoarseVcyclePrep,
             base = 2 * l * prep.max_it
 
             def coeff_fn(k):
-                return coeffs_ref[base + 2 * k], coeffs_ref[base + 2 * k + 1]
+                # k is i32 (frame_cheb_sweep uses i32 fori bounds); keep
+                # the whole SMEM index i32 — Mosaic rejects i64/i32 mixes.
+                i = jnp.int32(base) + jnp.int32(2) * k
+                return coeffs_ref[i], coeffs_ref[i + 1]
 
             return frame_cheb_sweep(
                 exf, eyf, rxf, ryf, es, en, by=ny, bx=nx, h=1, dx=dx,
