@@ -105,6 +105,10 @@ def main():
                     help="with --platform cpu: virtual host device count "
                          "(exercise --mesh without a TPU slice; timings are "
                          "then NOT the metric)")
+    ap.add_argument("--artifact", type=str, default="", metavar="PATH",
+                    help="also write the result JSON to PATH via the atomic "
+                         "artifact writer (refuses empty payloads) — the "
+                         "committed validation/bench_*.json evidence files")
     args = ap.parse_args()
 
     if args.platform:
@@ -291,6 +295,10 @@ def main():
         result["detail"]["explicit_halo"] = bool(cfg.solver.explicit_halo)
     if scan_per_step is not None:
         result["detail"]["seconds_per_step_scanned"] = round(scan_per_step, 3)
+    if args.artifact:
+        from pylamp_tpu.utils.artifacts import write_json_artifact
+
+        write_json_artifact(args.artifact, result)
     print(json.dumps(result))
 
 

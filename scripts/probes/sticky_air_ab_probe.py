@@ -99,6 +99,57 @@ VARIANTS = {
     "al_g1_ii8":   (dict(BASE, al_gamma=1.0, velocity_inner_iters=8,
                          velocity_inner_tol=1e-2),
                     dict(restart=60, al_gamma=1.0)),
+    # round-5 CPU 256x64 sweep (iteration counts, platform-independent):
+    # preset 180, g3 129, g10+ii16 66, g10+ii24@1e-3 40, g30+ii24 40,
+    # g10+ii32@3e-4 32, g100 355 (collapses), g10+ii8 202 (inner too
+    # weak).  gamma ~10 with a deeper inner solve is the frontier; these
+    # measure its spec-size wall on the chip.
+    "al_g10_ii24": (dict(BASE, al_gamma=10.0, velocity_inner_iters=24,
+                         velocity_inner_tol=1e-3),
+                    dict(restart=60, al_gamma=10.0)),
+    "al_g10_ii24_pre4": (dict(BASE, al_gamma=10.0, velocity_inner_iters=24,
+                              velocity_inner_tol=1e-3, pre_smooth=4,
+                              post_smooth=4),
+                         dict(restart=60, al_gamma=10.0)),
+    "al_g10_ii32": (dict(BASE, al_gamma=10.0, velocity_inner_iters=32,
+                         velocity_inner_tol=3e-4),
+                    dict(restart=60, al_gamma=10.0)),
+    "al_g10_ii16": (dict(BASE, al_gamma=10.0),
+                    dict(restart=60, al_gamma=10.0)),
+    # TPU spec round 2: preset 1.202s/144it; g10_ii16 0.635s/66it and
+    # g10_ii24 0.645s/43it tie (total inner V-cycles ~equal) — push the
+    # per-inner-iteration cost (fcg short recurrence) and the smoothing
+    # depth frontier between pre4 (worse) and pre8.
+    "al_g10_ii16_fcg": (dict(BASE, al_gamma=10.0,
+                             velocity_inner_method="fcg"),
+                        dict(restart=60, al_gamma=10.0)),
+    "al_g10_ii24_fcg": (dict(BASE, al_gamma=10.0, velocity_inner_iters=24,
+                             velocity_inner_tol=1e-3,
+                             velocity_inner_method="fcg"),
+                        dict(restart=60, al_gamma=10.0)),
+    "al_g10_ii20_pre6": (dict(BASE, al_gamma=10.0, velocity_inner_iters=20,
+                              velocity_inner_tol=1e-3, pre_smooth=6,
+                              post_smooth=6),
+                         dict(restart=60, al_gamma=10.0)),
+    "al_g10_ii12_t3e3": (dict(BASE, al_gamma=10.0, velocity_inner_iters=12),
+                         dict(restart=60, al_gamma=10.0)),
+    # TPU spec round 3: pre6+ii20 won round 2 at 0.592s/60it (pre8+ii16
+    # 0.632, pre8+ii24 0.645; fcg inner loses badly) — bracket it.
+    "al_g10_ii16_pre6": (dict(BASE, al_gamma=10.0, pre_smooth=6,
+                              post_smooth=6),
+                         dict(restart=60, al_gamma=10.0)),
+    "al_g10_ii24_pre6": (dict(BASE, al_gamma=10.0, velocity_inner_iters=24,
+                              velocity_inner_tol=1e-3, pre_smooth=6,
+                              post_smooth=6),
+                         dict(restart=60, al_gamma=10.0)),
+    "al_g10_ii20_pre5": (dict(BASE, al_gamma=10.0, velocity_inner_iters=20,
+                              velocity_inner_tol=1e-3, pre_smooth=5,
+                              post_smooth=5),
+                         dict(restart=60, al_gamma=10.0)),
+    "al_g15_ii20_pre6": (dict(BASE, al_gamma=15.0, velocity_inner_iters=20,
+                              velocity_inner_tol=1e-3, pre_smooth=6,
+                              post_smooth=6),
+                         dict(restart=60, al_gamma=15.0)),
 }
 names = sys.argv[1:] or list(VARIANTS)
 
