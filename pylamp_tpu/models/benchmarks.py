@@ -303,12 +303,25 @@ def sticky_air(nx=1024, ny=256, max_steps=50):
         # inner tol 1e-2 (1.33/197), and a deep-inner wBFBT retry (17.9 s,
         # 1620 iters, DIVERGED — the BFBT commutator argument genuinely
         # fails on cell-sharp 1e4 jumps, not a tuning artifact).  ~0.84 s
-        # is a plateau: every neighbor in the knob space is worse.
+        # was a knob plateau: every neighbor in that knob space is worse.
+        # Round 5 broke the plateau with an ALGORITHM, not a knob: the
+        # augmented-Lagrangian grad-div row operation (solvers/al.py,
+        # stokes_al_gamma) makes the mass Schur surrogate contrast-robust.
+        # Measured at spec on a warmed state (solve wall, median of 3,
+        # scripts/probes/sticky_air_ab_probe.py): preset-without-AL
+        # 1.202 s / 144 outer iters -> gamma=10 + inner 16@3e-3 +
+        # pre/post 6 Chebyshev 0.588 s / 66 iters (2.0x).  The gamma
+        # response is a clear optimum: gamma=3 129 iters, 10 -> 40-66,
+        # 30 -> 85, 100 -> 355 (the augmented block defeats geometric MG
+        # at large gamma, the classic AL trade-off); fcg inner loses 2.6x
+        # to FGMRES; pre/post 5 and 8 and inner 20/24/32 all within noise
+        # or worse.
         solver=SolverConfig(stokes_tol=1e-8, stokes_restart=60,
                             stokes_maxiter=3000,
-                            mg_pre_smooth=8, mg_post_smooth=8,
+                            mg_pre_smooth=6, mg_post_smooth=6,
                             mg_lam_mode="power",
                             mg_eta_cap=1e2,
+                            stokes_al_gamma=10.0,
                             mg_velocity_inner_iters=16,
                             mg_velocity_inner_tol=3e-3),
         time=TimeConfig(courant=0.25, max_steps=max_steps,

@@ -36,6 +36,13 @@ def _host_tag() -> str:
 def enable_persistent_cache(path: str = ".jax_cache"):
     import jax
 
+    if jax.default_backend() not in ("tpu", "axon"):
+        # XLA:CPU executable serialization (executable.serialize() inside
+        # put_executable_and_time) has segfaulted twice on this host
+        # mid-test-run — CPU AOT results are machine-feature-specialized
+        # and their serialization path is not robust.  The cache's big win
+        # is the TPU path (remote compiles); CPU just recompiles.
+        return
     path = os.path.join(path, _host_tag())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
