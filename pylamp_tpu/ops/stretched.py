@@ -30,9 +30,14 @@ from pylamp_tpu.core.bc import DIRICHLET, NEUMANN, VelocityBCs, ThermalBCs
 from pylamp_tpu.core.grid import StaggeredGrid
 
 
-def _spacings(grid: StaggeredGrid):
+def _spacings(grid: StaggeredGrid, dtype=None):
     """(dxc (1,nx), dyc (ny,1), dxv (1,nx-1), dyv (ny-1,1),
-    dxn (1,nx+1), dyn (ny+1,1)) as numpy float64 row/col vectors.
+    dxn (1,nx+1), dyn (ny+1,1)) row/col vectors, cast to ``dtype``.
+
+    ``dtype`` must be the FIELD dtype: numpy's default float64 vectors
+    would otherwise promote every f32 stretched apply to f64 under x64
+    (the mixed-precision inner solve then fails jit carry checks —
+    caught by bench --stretch-y).
 
     dxn/dyn are the corner-lattice gaps used by the shear/flux terms:
     interior entries are center distances, wall entries one cell width
@@ -43,10 +48,13 @@ def _spacings(grid: StaggeredGrid):
     dyv = 0.5 * (dyc[:-1] + dyc[1:])
     dxn = np.concatenate([[dxc[0]], dxv, [dxc[-1]]])
     dyn = np.concatenate([[dyc[0]], dyv, [dyc[-1]]])
-    return (
+    out = (
         dxc[None, :], dyc[:, None], dxv[None, :], dyv[:, None],
         dxn[None, :], dyn[:, None],
     )
+    if dtype is not None:
+        out = tuple(a.astype(dtype) for a in out)
+    return out
 
 
 def _ghost_vx(vx, bcs):
@@ -64,7 +72,7 @@ def _ghost_vy(vy, bcs):
 def shear_stress_xy_stretched(vx, vy, eta_s, grid: StaggeredGrid,
                               bcs: VelocityBCs):
     """sxy = eta_s (dvx/dy + dvy/dx) at all corner nodes, (ny+1, nx+1)."""
-    _, _, _, _, dxn, dyn = _spacings(grid)
+    _, _, _, _, dxn, dyn = _spacings(grid, vx.dtype)
     vx_g = _ghost_vx(vx, bcs)
     vy_g = _ghost_vy(vy, bcs)
     dvxdy = (vx_g[1:, :] - vx_g[:-1, :]) / dyn
@@ -79,7 +87,7 @@ def stokes_operator_stretched(vx, vy, p, eta_s, eta_n, grid: StaggeredGrid,
     if bcs.periodic_x:
         raise ValueError("periodic side walls are not supported on "
                          "stretched grids")
-    dxc, dyc, dxv, dyv, _, _ = _spacings(grid)
+    dxc, dyc, dxv, dyv, _, _ = _spacings(grid, vx.dtype)
 
     sxy = shear_stress_xy_stretched(vx, vy, eta_s, grid, bcs)
 
@@ -111,7 +119,7 @@ def stokes_operator_stretched(vx, vy, p, eta_s, eta_n, grid: StaggeredGrid,
 def velocity_diagonals_stretched(eta_s, eta_n, grid: StaggeredGrid, kbnd):
     """Analytic momentum-stencil diagonals on a stretched grid (Jacobi /
     Chebyshev smoothing)."""
-    dxc, dyc, dxv, dyv, _, _ = _spacings(grid)
+    dxc, dyc, dxv, dyv, _, _ = _spacings(grid, eta_n.dtype)
     # vx node i couples to sxx in cells i-1, i (each 2 eta_n / dxc) over dxv,
     # and to sxy rows j, j+1 (eta_s / dyn ~ dyc at the vx row) over dyc.
     dvx_int = (
@@ -135,7 +143,7 @@ def velocity_diagonals_stretched(eta_s, eta_n, grid: StaggeredGrid, kbnd):
 
 def pressure_gradient_stretched(zp, grid: StaggeredGrid, dtype):
     """G z_p on a stretched grid (zero on Dirichlet rows)."""
-    _, _, dxv, dyv, _, _ = _spacings(grid)
+    _, _, dxv, dyv, _, _ = _spacings(grid, dtype)
     gx_int = (zp[:, 1:] - zp[:, :-1]) / dxv
     zeros_x = jnp.zeros((grid.ny, 1), dtype)
     gx = jnp.concatenate([zeros_x, gx_int, zeros_x], axis=1)
@@ -159,7 +167,7 @@ def _face_k(k, axis: int, mode: str):
     raise ValueError(f"unknown k averaging mode {mode!r}")
 
 
-def _corner_volumes(grid: StaggeredGrid):
+def _corner_volumes(grid: StaggeredGrid, dtype=None):
     """Control-volume extents of the corner nodes: (wy (ny+1,1), wx (1,nx+1))
     with interior = center distance, wall = half a cell (mirror ghost at one
     cell width makes the wall flux term divide by the full cell — identical
@@ -170,6 +178,8 @@ def _corner_volumes(grid: StaggeredGrid):
     # (ghost mirrored at one cell) -> generalize: wall rows use dyc edge
     wx = np.concatenate([[dxc[0]], 0.5 * (dxc[:-1] + dxc[1:]), [dxc[-1]]])
     wy = np.concatenate([[dyc[0]], 0.5 * (dyc[:-1] + dyc[1:]), [dyc[-1]]])
+    if dtype is not None:
+        wx, wy = wx.astype(dtype), wy.astype(dtype)
     return wy[:, None], wx[None, :]
 
 
@@ -192,10 +202,11 @@ def energy_operator_stretched(T, k, rhocp_over_dt, grid: StaggeredGrid,
                          "stretched grids")
     dxc = grid.dxs
     dyc = grid.dys
-    wy, wx = _corner_volumes(grid)
-    # ghost gaps: mirror at one cell width
-    gx = np.concatenate([[dxc[0]], dxc, [dxc[-1]]])[None, :]  # (1, nx+2)
-    gy = np.concatenate([[dyc[0]], dyc, [dyc[-1]]])[:, None]  # (ny+2, 1)
+    wy, wx = _corner_volumes(grid, T.dtype)
+    # ghost gaps: mirror at one cell width (cast to the field dtype: the
+    # numpy f64 vectors would promote f32 applies under x64)
+    gx = np.concatenate([[dxc[0]], dxc, [dxc[-1]]]).astype(T.dtype)[None, :]
+    gy = np.concatenate([[dyc[0]], dyc, [dyc[-1]]]).astype(T.dtype)[:, None]
 
     Tp = jnp.pad(T, 1, mode="reflect")
     kp = jnp.pad(k, 1, mode="reflect")
@@ -218,7 +229,7 @@ def energy_rhs_stretched(T_old, k, rhocp_over_dt, H, grid: StaggeredGrid,
                          k_avg: str = "arithmetic"):
     """RHS matching energy_operator_stretched (mirror-ghost Neumann
     elimination: +2*k_face*g/w per wall with w the wall control width)."""
-    wy, wx = _corner_volumes(grid)
+    wy, wx = _corner_volumes(grid, T_old.dtype)
     b = rhocp_over_dt * T_old + H
 
     kp = jnp.pad(k, 1, mode="reflect")
@@ -241,9 +252,9 @@ def energy_diagonal_stretched(k, rhocp_over_dt, grid: StaggeredGrid,
                               bcs: ThermalBCs, kbnd, k_avg):
     dxc = grid.dxs
     dyc = grid.dys
-    wy, wx = _corner_volumes(grid)
-    gx = np.concatenate([[dxc[0]], dxc, [dxc[-1]]])[None, :]
-    gy = np.concatenate([[dyc[0]], dyc, [dyc[-1]]])[:, None]
+    wy, wx = _corner_volumes(grid, k.dtype)
+    gx = np.concatenate([[dxc[0]], dxc, [dxc[-1]]]).astype(k.dtype)[None, :]
+    gy = np.concatenate([[dyc[0]], dyc, [dyc[-1]]]).astype(k.dtype)[:, None]
     kp = jnp.pad(k, 1, mode="reflect")
     kx = _face_k(kp, 1, k_avg) / gx   # (ny+3, nx+2)
     ky = _face_k(kp, 0, k_avg) / gy   # (ny+2, nx+3)

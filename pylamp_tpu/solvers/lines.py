@@ -85,14 +85,18 @@ def tridiag_pcr(a, b, c, d, axis: int = 0):
 
 # -- momentum-stencil line coefficients ------------------------------------------
 
-def _spacings(grid: StaggeredGrid):
+def _spacings(grid: StaggeredGrid, dtype=None):
     dxc = np.asarray(grid.dxs)
     dyc = np.asarray(grid.dys)
     dxv = 0.5 * (dxc[:-1] + dxc[1:])
     dyv = 0.5 * (dyc[:-1] + dyc[1:])
     dxn = np.concatenate([[dxc[0]], dxv, [dxc[-1]]])
     dyn = np.concatenate([[dyc[0]], dyv, [dyc[-1]]])
-    return dxc, dyc, dxv, dyv, dxn, dyn
+    out = (dxc, dyc, dxv, dyv, dxn, dyn)
+    if dtype is not None:
+        # numpy f64 vectors promote f32 applies under x64
+        out = tuple(a.astype(dtype) for a in out)
+    return out
 
 
 def momentum_line_coeffs(eta_s, eta_n, grid: StaggeredGrid, bcs: VelocityBCs,
@@ -108,8 +112,8 @@ def momentum_line_coeffs(eta_s, eta_n, grid: StaggeredGrid, bcs: VelocityBCs,
         raise ValueError("line smoothing requires non-periodic side walls "
                          "(cyclic x coupling is not tridiagonal)")
     ny, nx = grid.ny, grid.nx
-    dxc, dyc, dxv, dyv, dxn, dyn = _spacings(grid)
     dt = eta_n.dtype
+    dxc, dyc, dxv, dyv, dxn, dyn = _spacings(grid, dt)
 
     def row(v):  # (nx-ish,) -> (1, n)
         return jnp.asarray(v, dt)[None, :]

@@ -102,3 +102,29 @@ def test_al_solution_matches_plain(gamma):
     pscale = float(jnp.max(jnp.abs(plain.p)))
     np.testing.assert_allclose(np.asarray(aug.p), np.asarray(plain.p),
                                atol=1e-5 * pscale)
+
+
+@pytest.mark.slow
+def test_sticky_air_preset_al_production_step():
+    """The sticky-air production preset ships stokes_al_gamma=10 (round-5
+    plateau-breaker; measured 2.0x at spec on v5e) — the full fused step
+    must converge with the augmented operator + (1+gamma)-scaled Schur
+    surrogate wired through models/step.py."""
+    import dataclasses
+
+    from pylamp_tpu.models.benchmarks import sticky_air
+    from pylamp_tpu.models.setup import build
+    from pylamp_tpu.models.step import make_step
+
+    cfg = sticky_air(nx=64, ny=16, max_steps=2)
+    assert cfg.solver.stokes_al_gamma == 10.0
+    # keep the tiny-grid solve cheap but leave AL + inner solve active
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, mg_levels=3))
+    grid, table, state = build(cfg, jnp.float32)
+    step = jax.jit(make_step(grid, cfg, table))
+    for _ in range(2):
+        state, diag = step(state)
+    assert bool(diag["stokes_converged"])
+    assert float(diag["stokes_residual_rel"]) <= cfg.solver.stokes_tol * 1.01
+    assert np.isfinite(float(jnp.max(jnp.abs(state.vy))))
