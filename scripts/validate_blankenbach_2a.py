@@ -31,7 +31,7 @@ BB2A_NU = 10.066
 BB2A_VRMS = 480.43
 
 
-def main(nx=64, max_time=0.2):
+def main(nx=64, max_time=0.2, max_wall_s=0.0):
     cfg = fk_stagnant_lid(nx=nx, ny=nx, Ra_top=1e4, visc_contrast=1e3,
                           max_steps=10**9, max_time=max_time)
     cfg = dataclasses.replace(
@@ -45,9 +45,13 @@ def main(nx=64, max_time=0.2):
     t0 = time.time()
     n = 0
     last_nu = -1.0
+    steady = False
     while float(state.time) < max_time:
         state, diag = step(state)
         n += 1
+        if max_wall_s and time.time() - t0 > max_wall_s:
+            print("wall cap reached", flush=True)
+            break
         if n % 500 == 0:
             nu = float(nusselt_top(state.T, grid))
             vr = float(vrms_box(state.vx, state.vy))
@@ -58,6 +62,7 @@ def main(nx=64, max_time=0.2):
             )
             if abs(nu - last_nu) < 2e-4 and n > 3000:
                 print("steady state reached", flush=True)
+                steady = True
                 break
             last_nu = nu
 
@@ -77,6 +82,7 @@ def main(nx=64, max_time=0.2):
         "config": "Blankenbach 1989 case 2a (T-dep viscosity, Ra0=1e4, "
                   "contrast 1e3)",
         "nx": nx, "steps": n, "time_nondim": float(state.time),
+        "steady_state": steady,
         "nu_top": nu, "nu_bottom": nub,
         "nu_ref": BB2A_NU, "nu_rel_err": abs(nu - BB2A_NU) / BB2A_NU,
         "nu_top_bottom_gap": abs(nu - nub) / BB2A_NU,
@@ -91,4 +97,5 @@ def main(nx=64, max_time=0.2):
 if __name__ == "__main__":
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     mt = float(sys.argv[2]) if len(sys.argv) > 2 else 0.2
-    main(nx, mt)
+    mw = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
+    main(nx, mt, mw)
