@@ -73,7 +73,9 @@ def main(nx=64, max_time=0.25, dtype=jnp.float32):
 
     from pylamp_tpu.utils.artifacts import write_json_artifact
 
-    write_json_artifact("validation/blankenbach_1a.json", {
+    out = ("validation/blankenbach_1a.json" if nx == 64
+           else f"validation/blankenbach_1a_{nx}.json")
+    write_json_artifact(out, {
         "config": "BASELINE config 2 (Blankenbach 1989 case 1a, Ra=1e4)",
         "nx": nx, "steps": n, "time_nondim": float(state.time),
         "nu_top": nu, "nu_ref": BLANKENBACH_1A_NU, "nu_rel_err": err_nu,
@@ -81,7 +83,7 @@ def main(nx=64, max_time=0.25, dtype=jnp.float32):
         "wall_s": round(time.time() - t0, 1),
         "device": str(jax.devices()[0]),
     })
-    print("wrote validation/blankenbach_1a.json", flush=True)
+    print(f"wrote {out}", flush=True)
     return nu, vr
 
 
